@@ -1,0 +1,53 @@
+"""Elementwise/reduction op tests (reference matrix_ops.cu semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tomojax import ops
+
+
+def test_soft_threshold():
+    x = jnp.asarray([-2.0, -0.5, 0.0, 0.3, 1.5])
+    got = np.asarray(ops.soft_threshold(x, 1.0))
+    np.testing.assert_allclose(got, [-1.0, 0.0, 0.0, 0.0, 0.5])
+
+
+def test_nesterov():
+    x = jnp.asarray([1.0, 2.0])
+    xo = jnp.asarray([0.0, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(ops.nesterov(x, xo, 0.5)), [1.5, 2.5]
+    )
+
+
+def test_positivity_and_background():
+    x = jnp.asarray([-1.0, 0.0, 2.0])
+    np.testing.assert_allclose(np.asarray(ops.positivity(x)), [0.0, 0.0, 2.0])
+    np.testing.assert_allclose(
+        np.asarray(ops.set_background(x, 9.0)), [-1.0, 9.0, 2.0]
+    )
+
+
+def test_norms_and_rmse():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((3, 4, 5)).astype(np.float32)
+    b = rng.standard_normal((3, 4, 5)).astype(np.float32)
+    assert np.isclose(float(ops.norm2(jnp.asarray(a))), np.linalg.norm(a), rtol=1e-5)
+    assert np.isclose(float(ops.l1_norm(jnp.asarray(a))), np.abs(a).sum(), rtol=1e-5)
+    assert np.isclose(
+        float(ops.rmse(jnp.asarray(a), jnp.asarray(b))),
+        np.sqrt(np.mean((a - b) ** 2)),
+        rtol=1e-5,
+    )
+    per = ops.rmse_per_element(jnp.asarray(a), jnp.asarray(b))
+    assert per.shape == (3,)
+
+
+def test_poisson_noise_preserves_scale():
+    key = jax.random.PRNGKey(0)
+    b = jnp.ones((4, 10, 10)) * 5.0
+    noisy = ops.poisson_noise(key, b, 200)
+    # mean preserved within sampling error; variance nonzero
+    assert abs(float(jnp.mean(noisy)) - 5.0) < 0.1
+    assert float(jnp.std(noisy)) > 0.05

@@ -1,0 +1,217 @@
+"""SIRT / SART / ART / CGLS / Poisson-ML iterations, batched over slices.
+
+Each reference algorithm is re-derived as a pure, jit-compiled function of
+the whole ``(Ns, N, N)`` volume (the reference loops 2D ASTRA solvers over
+slices from C++, tomoengine.cpp:162-315). Semantics match ASTRA's CUDA
+algorithms as configured by the reference:
+
+* SIRT:  x <- clamp0( x + C A^T R (b - A x) ),  R = 1/row-sums,
+  C = 1/col-sums, nonnegativity from ``setConstraints(true, 0, ...)``
+  (tomoengine.cpp:184).
+* SART:  ordered block-Kaczmarz over angles with relaxation beta and
+  'sequential' or 'random' order (tomoengine.cpp:151-179); per-block
+  weights R_a, C_a; clamp after every block.
+* ART (Kaczmarz): true row-action sweep, CPU-parity feature
+  (cpu/utils/ctvlib.cpp:137-191).
+* CGLS: standard conjugate gradient on the normal equations with
+  *per-slice* scalars (each 2D slice is an independent least-squares
+  problem, as in the reference's per-slice ASTRA CGLS, tomoengine.cpp:214-229).
+* Poisson-ML / KL: x <- clamp0(x - (lam/L) A^T((Ax - b)/(Ax + eps))),
+  eps = 0.1, cost = sum(Ax - b log(Ax + eps)) (tomoengine.cpp:293-315).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tomojax.projector.joseph import fp, bp
+from tomojax.solvers.base import System, fp_single_angle, bp_single_angle
+
+POISSON_EPS = 0.1  # tomoengine.cpp:295
+
+
+# ----------------------------------------------------------------- SIRT ---
+
+
+def sirt_sweep(x, b, sys: System, n_iter: int = 1):
+    """`n_iter` SIRT iterations. x: (Ns, N, N); b: (Ns, Na, Nt)."""
+    inv_r, inv_c = sys.inv_row, sys.inv_col
+
+    def body(_, xx):
+        resid = (b - fp(xx, sys.geom)) * inv_r
+        xx = xx + inv_c * bp(resid, sys.geom)
+        return jnp.maximum(xx, 0.0)
+
+    return jax.lax.fori_loop(0, n_iter, body, x)
+
+
+# ----------------------------------------------------------------- SART ---
+
+
+def make_sart_weights(sys: System):
+    """Per-angle inverse row/column sums.
+
+    inv_row is sliced from the full-system row sums; per-angle column sums
+    are one BP of a ones-sinogram masked per angle — computed as Na
+    single-angle BPs (setup cost, once per geometry)."""
+    geom = sys.geom
+    cosv = jnp.asarray(geom.cos, jnp.float32)
+    sinv = jnp.asarray(geom.sin, jnp.float32)
+
+    def one(c, s):
+        return bp_single_angle(
+            jnp.ones((1, geom.nray), jnp.float32), c, s, geom.n
+        )[0]
+
+    col_a = jax.vmap(one)(cosv, sinv)  # (Na, N, N)
+    inv_col_a = jnp.where(col_a > 1e-6, 1.0 / jnp.maximum(col_a, 1e-6), 0.0)
+    return inv_col_a
+
+
+def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
+    """One ordered pass over all angle blocks (== ASTRA SART `run(Nproj)`).
+
+    order: (Na,) int32 angle visiting order (sequential = arange; random =
+    a permutation, reference tomoengine.cpp:164 updateProjOrder)."""
+    geom = sys.geom
+    na = geom.nproj
+    if order is None:
+        order = jnp.arange(na, dtype=jnp.int32)
+    cosv = jnp.asarray(geom.cos, jnp.float32)
+    sinv = jnp.asarray(geom.sin, jnp.float32)
+    rowdrv = jnp.asarray(geom.row_driven)
+    inv_row = sys.inv_row[0]  # (Na, Nt)
+
+    def body(xx, a):
+        c, s, rd = cosv[a], sinv[a], rowdrv[a]
+        proj = fp_single_angle(xx, c, s, rd, geom.nray)  # (Ns, Nt)
+        resid = (b[:, a, :] - proj) * inv_row[a][None, :]
+        upd = bp_single_angle(resid, c, s, geom.n) * inv_col_a[a][None]
+        xx = jnp.maximum(xx + beta * upd, 0.0)
+        return xx, None
+
+    x, _ = jax.lax.scan(body, x, order)
+    return x
+
+
+# ------------------------------------------------------------------ ART ---
+
+
+def art_sweep(x, b, sys: System, beta=1.0, ray_order=None):
+    """True Kaczmarz sweep over individual rays (CPU-parity,
+    ctvlib.cpp:137-191): x += beta * (b_i - <a_i, x>)/||a_i||^2 * a_i,
+    sequentially. Rays are visited angle-major; `ray_order` permutes
+    (randART). Slow by construction (inherently sequential)."""
+    geom = sys.geom
+    na, nt = geom.nproj, geom.nray
+    nrow = na * nt
+    if ray_order is None:
+        ray_order = jnp.arange(nrow, dtype=jnp.int32)
+    cosv = jnp.asarray(geom.cos, jnp.float32)
+    sinv = jnp.asarray(geom.sin, jnp.float32)
+    rowdrv = jnp.asarray(geom.row_driven)
+    n = geom.n
+    ctr = (n - 1) / 2.0
+    steps = jnp.arange(n, dtype=jnp.float32)
+    bflat = b.reshape(b.shape[0], nrow)
+
+    def body(xx, ridx):
+        a = ridx // nt
+        j = ridx % nt
+        c, s, rd = cosv[a], sinv[a], rowdrv[a]
+        tj = j.astype(jnp.float32) - (nt - 1) / 2.0
+        safe_c = jnp.where(jnp.abs(c) < 1e-8, 1.0, c)
+        safe_s = jnp.where(jnp.abs(s) < 1e-8, 1.0, s)
+        # positions along the step axis for both branches
+        pos_row = tj / safe_c + (ctr - steps) * (-s / safe_c) + ctr
+        pos_col = ctr - tj / safe_s + (steps - ctr) * (c / safe_s)
+        pos = jnp.where(rd, pos_row, pos_col)
+        scale = 1.0 / jnp.maximum(jnp.abs(jnp.where(rd, c, s)), 1e-8)
+        f = jnp.floor(pos)
+        frac = pos - f
+        i0 = f.astype(jnp.int32)
+        i1 = i0 + 1
+        w0 = jnp.where((i0 >= 0) & (i0 < n), 1.0 - frac, 0.0) * scale
+        w1 = jnp.where((i1 >= 0) & (i1 < n), frac, 0.0) * scale
+        i0 = jnp.clip(i0, 0, n - 1)
+        i1 = jnp.clip(i1, 0, n - 1)
+        # row-driven: pixel (m, i*) ; col-driven: pixel (i*, m)
+        xr = jnp.where(rd, xx, xx.transpose(0, 2, 1))
+        m = jnp.arange(n)
+        v0 = xr[:, m, i0]
+        v1 = xr[:, m, i1]
+        dot = (v0 * w0[None] + v1 * w1[None]).sum(-1)  # (Ns,)
+        row_nsq = (w0 * w0 + w1 * w1).sum()
+        coeff = beta * (bflat[:, ridx] - dot) / jnp.maximum(row_nsq, 1e-12)
+        xr = xr.at[:, m, i0].add(coeff[:, None] * w0[None])
+        xr = xr.at[:, m, i1].add(coeff[:, None] * w1[None])
+        xx = jnp.where(rd, xr, xr.transpose(0, 2, 1))
+        return xx, None
+
+    x, _ = jax.lax.scan(body, x, ray_order)
+    return x
+
+
+# ----------------------------------------------------------------- CGLS ---
+
+
+def cgls_run(x, b, sys: System, n_iter: int):
+    """`n_iter` CGLS steps from the current volume, per-slice scalars.
+
+    Matches the reference behavior of re-initializing CG state each call
+    (tomoengine.cpp:214-229); positivity is NOT applied here (the caller
+    applies it after the run, tomoengine.cpp:228)."""
+    geom = sys.geom
+
+    def dots_img(v):
+        return jnp.sum(v * v, axis=(1, 2), keepdims=True)  # (Ns,1,1)
+
+    def dots_sino(v):
+        return jnp.sum(v * v, axis=(1, 2))[:, None, None]
+
+    r = b - fp(x, geom)
+    s = bp(r, geom)
+    p = s
+    gamma = dots_img(s)
+
+    def body(_, carry):
+        x, r, p, gamma = carry
+        q = fp(p, geom)
+        denom = dots_sino(q)
+        alpha = jnp.where(denom > 0, gamma / jnp.maximum(denom, 1e-30), 0.0)
+        x = x + alpha * p
+        r = r - alpha * q
+        s = bp(r, geom)
+        gamma_new = dots_img(s)
+        beta = jnp.where(gamma > 0, gamma_new / jnp.maximum(gamma, 1e-30), 0.0)
+        p = s + beta * p
+        return x, r, p, gamma_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, n_iter, body, (x, r, p, gamma))
+    return x
+
+
+# ----------------------------------------------- Poisson-ML (KL) ----------
+
+
+def poisson_ml_step(x, b, sys: System, lam):
+    """One Poisson maximum-likelihood gradient step + positivity.
+
+    Returns (x_new, kl_cost). b must be pre-normalized to max <= 1
+    (tomoengine.cpp:245, done by the API layer)."""
+    geom = sys.geom
+    ax = fp(x, geom)
+    upd = bp((ax - b) / (ax + POISSON_EPS), geom)
+    x = jnp.maximum(x - (lam / sys.lipschitz) * upd, 0.0)
+    cost = jnp.sum(ax - b * jnp.log(ax + POISSON_EPS))
+    return x, cost
+
+
+# ------------------------------------------------- least squares ----------
+
+
+def least_squares_step(x, b, sys: System):
+    """Plain gradient step x -= (1/L) A^T (A x - b) (tomoengine.cpp:386-401)."""
+    geom = sys.geom
+    return x - (1.0 / sys.lipschitz) * bp(fp(x, geom) - b, geom)
