@@ -1,0 +1,137 @@
+"""API-surface tests: TomoTPU / Simulator / ChemicalTomo parity with the
+reference quickstart (README.md:33-53) and data-layout conventions."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tomojax
+from tomojax import TomoTPU, ChemicalTomo
+from tomojax.api import Simulator, _to_sinogram
+from tomojax.sim import shepp_logan
+from tomojax.geometry import Geometry
+from tomojax.projector.joseph import fp
+
+N = 32
+ANGLES = np.linspace(-70, 70, 20)
+
+
+def _series():
+    """Reference-layout tilt series (Nslice, Nray, Nangles)."""
+    geom = Geometry.make(N, np.deg2rad(ANGLES))
+    ph = np.stack([shepp_logan(N)] * 3)
+    b = np.asarray(fp(jnp.asarray(ph), geom))  # (Ns, Na, Nt)
+    return np.transpose(b, (0, 2, 1)), ph
+
+
+def test_layout_roundtrip():
+    ts, _ = _series()
+    b = _to_sinogram(ts)
+    assert b.shape == (3, len(ANGLES), N)
+    # matches the reference flattening tiltSeries[s].T.ravel()
+    # (gpu/reconstructor.py:54-59)
+    for s in range(3):
+        np.testing.assert_array_equal(b[s].ravel(), ts[s].T.ravel())
+
+
+def test_quickstart_fista():
+    ts, ph = _series()
+    tomo = TomoTPU(ANGLES, ts)
+    tomo.fista(Niter=8, lambda_param=0.005, show_convergence=True)
+    rec = tomo.get_recon()
+    assert rec.shape == (3, N, N)
+    assert np.isfinite(tomo.cost).all()
+    assert tomo.cost[-1] < tomo.cost[0]
+
+
+def test_sirt_sart_cgls_wbp_kl():
+    ts, ph = _series()
+    tomo = TomoTPU(ANGLES, ts)
+    tomo.sirt(Niter=10)
+    assert tomo.cost[-1] < tomo.cost[0]
+    r_sirt = tomo.get_recon()
+    tomo.sart(Niter=3, init="random")
+    assert np.isfinite(tomo.cost).all()
+    tomo.cgls(Niter=8)
+    assert tomo.get_recon().min() >= 0
+    tomo.wbp("hamming")
+    assert tomo.get_recon().shape == (3, N, N)
+    tomo.kl_divergence(Niter=10, lambda_param=0.3)
+    assert tomo.cost[-1] < tomo.cost[0]
+    # unknown wbp filter falls back instead of raising (reference
+    # reconstructor.py:65-67 prints + defaults)
+    tomo.wbp("definitely-not-a-filter")
+
+
+def test_asd_pocs_api():
+    ts, _ = _series()
+    tomo = TomoTPU(ANGLES, ts)
+    tomo.asd_pocs(Niter=6, nTViter=3)
+    assert tomo.dd_vec[-1] < tomo.dd_vec[0]
+    assert (tomo.tv_vec > 0).all()
+
+
+def test_simulator_with_noise():
+    vol = np.stack([shepp_logan(N)] * 2)
+    sim = Simulator(vol, ANGLES, snr=200)
+    sim.sirt(Niter=15, show_convergence=False)
+    assert sim.rmse() < 0.25
+    # noise actually applied: projections differ from clean FP
+    clean = Simulator(vol, ANGLES, snr=0)
+    assert not np.allclose(sim.get_projections(), clean.get_projections())
+
+
+def test_mesh_api_matches_single_device():
+    ts, _ = _series()
+    ref = TomoTPU(ANGLES, ts)
+    ref.sirt(Niter=5, show_convergence=False)
+    mesh = tomojax.dist.make_mesh(4) if hasattr(tomojax, "dist") else None
+    from tomojax import dist
+
+    tomo = TomoTPU(ANGLES, ts, mesh=dist.make_mesh(4))
+    tomo.sirt(Niter=5, show_convergence=False)
+    np.testing.assert_allclose(
+        tomo.get_recon(), ref.get_recon(), atol=1e-5
+    )
+
+
+def test_angle_count_mismatch_raises():
+    ts, _ = _series()
+    with pytest.raises(AssertionError):
+        TomoTPU(ANGLES[:-2], ts)
+
+
+def test_chemical_tomo_api():
+    yy, xx = np.mgrid[0:N, 0:N]
+    e1 = ((xx - 10) ** 2 + (yy - 16) ** 2 < 36).astype(np.float32)
+    e2 = ((xx - 22) ** 2 + (yy - 16) ** 2 < 25).astype(np.float32)
+    gt = np.stack([np.stack([e1] * 2), np.stack([e2] * 2)])  # (2, 2, N, N)
+    chem_ang = np.linspace(-60, 60, 9)
+    haadf_ang = np.linspace(-70, 70, 30)
+
+    from tomojax.fusion import make_fusion_system, weights_for_elements, fp4d, model_haadf
+
+    w = weights_for_elements(["c", "au"], 1.6, 3)
+    fsys = make_fusion_system(
+        N, np.deg2rad(haadf_ang), np.deg2rad(chem_ang), w, 1.6
+    )
+    b_chem = np.asarray(fp4d(jnp.asarray(gt), fsys.chem))
+    h = model_haadf(jnp.asarray(gt), fsys)
+    b_haadf = np.asarray(fp(h, fsys.haadf.geom))
+
+    # assemble reference-layout inputs: (Nslice, Nray, Nangles)
+    haadf_in = np.transpose(b_haadf, (0, 2, 1))
+    chem_in = {
+        "C": np.transpose(b_chem[0], (0, 2, 1)),
+        "Au": np.transpose(b_chem[1], (0, 2, 1)),
+    }
+    ct = ChemicalTomo(haadf_in, haadf_ang, chem_in, chem_ang)
+    ct.chemical_tomography(Niter=15, lambdaCHEM=0.2, show_convergence=False)
+    assert ct.costCHEM[-1] < ct.costCHEM[0]
+    ct.data_fusion(Niter=5, show_convergence=False)
+    rec = ct.get_recon()
+    assert rec.shape == (2, 2, N, N)
+    assert np.isfinite(rec).all()
+    per = ct.rmse_per_element(np.zeros_like(rec))
+    assert per.shape == (2,)

@@ -1,0 +1,113 @@
+"""Distributed correctness on the 8-device virtual CPU mesh (SURVEY.md §4):
+sharded-vs-unsharded equality of solver steps, TV halo exchange across
+slab boundaries, psum'd metrics, and sharded FISTA."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tomojax.geometry import Geometry
+from tomojax import dist, ops
+from tomojax import tv as tvmod
+from tomojax.solvers import make_system, sirt_sweep, fista_init, fista_step
+from tomojax.sim import shepp_logan, create_projections
+
+NS, N = 16, 32  # 16 slices over 8 devices = 2-slice slabs
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    return dist.make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    angles = np.deg2rad(np.linspace(-70, 70, 20))
+    geom = Geometry.make(N, angles)
+    sysd = make_system(geom)
+    ph = np.stack([shepp_logan(N) * (0.5 + i / NS) for i in range(NS)])
+    b = create_projections(ph, geom)
+    return geom, sysd, jnp.asarray(ph), b
+
+
+def test_mesh_shape(mesh):
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("z",)
+
+
+def test_sharded_sirt_matches_unsharded(mesh, problem):
+    geom, sysd, ph, b = problem
+    x0 = jnp.zeros((NS, N, N))
+    ref = sirt_sweep(x0, b, sysd, 3)
+
+    xs = dist.shard_volume(x0, mesh)
+    bs = dist.shard_volume(b, mesh)
+    step = jax.jit(lambda x, b: sirt_sweep(x, b, sysd, 3))
+    got = step(xs, bs)
+    # output keeps the slab sharding (batch axis)
+    assert got.sharding.is_equivalent_to(
+        NamedSharding(mesh, P("z", None, None)), 3
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_tv_halo(mesh, problem):
+    """TV stencils cross slab boundaries: jnp.roll over the sharded axis
+    must produce the identical result (XLA inserts the halo permute)."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (NS, N, N)).astype(np.float32)
+    ref_val = float(tvmod.tv(jnp.asarray(x)))
+    ref_gd, _ = tvmod.tv_gd(jnp.asarray(x), 5, 0.3)
+    ref_fgp, _ = tvmod.tv_fgp(jnp.asarray(x), 5, 0.1)
+
+    xs = dist.shard_volume(jnp.asarray(x), mesh)
+    got_val = float(jax.jit(tvmod.tv)(xs))
+    got_gd, _ = jax.jit(lambda v: tvmod.tv_gd(v, 5, 0.3))(xs)
+    got_fgp, _ = jax.jit(lambda v: tvmod.tv_fgp(v, 5, 0.1))(xs)
+
+    assert np.isclose(got_val, ref_val, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gd), np.asarray(ref_gd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_fgp), np.asarray(ref_fgp), atol=1e-5)
+
+
+def test_sharded_metrics(mesh, problem):
+    geom, sysd, ph, b = problem
+    xs = dist.shard_volume(ph, mesh)
+    ps = dist.shard_volume(b, mesh)
+    got = float(jax.jit(ops.rmse)(xs, dist.shard_volume(ph * 0.5, mesh)))
+    ref = float(ops.rmse(ph, ph * 0.5))
+    assert np.isclose(got, ref, rtol=1e-5)
+    got_dd = float(jax.jit(ops.data_distance)(ps, ps * 0.9))
+    ref_dd = float(ops.data_distance(b, b * 0.9))
+    assert np.isclose(got_dd, ref_dd, rtol=1e-5)
+
+
+def test_sharded_fista_step(mesh, problem):
+    geom, sysd, ph, b = problem
+    st_ref = fista_init(jnp.zeros((NS, N, N)))
+    st_ref, m_ref = fista_step(st_ref, b, sysd, 0.01, 5, True)
+
+    st = fista_init(dist.shard_volume(jnp.zeros((NS, N, N)), mesh))
+    bs = dist.shard_volume(b, mesh)
+    step = jax.jit(lambda st, b: fista_step(st, b, sysd, 0.01, 5, True))
+    st, m = step(st, bs)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(st_ref.x), atol=1e-5)
+    assert np.isclose(float(m[0]), float(m_ref[0]), rtol=1e-4)
+
+
+def test_uneven_slab_split(mesh):
+    """Ns not divisible by n_devices: pad_slices makes it shardable and
+    results match the unsharded run on the same padded volume (the
+    reference instead spreads the remainder, mpi_astra_ctvlib.cpp:53-58)."""
+    ns = 11
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (ns, N, N)), jnp.float32)
+    xp, orig = dist.pad_slices(x, mesh)
+    assert orig == ns and xp.shape[0] == 16
+    xs = dist.shard_volume(xp, mesh)
+    got = float(jax.jit(tvmod.tv)(xs))
+    assert np.isclose(got, float(tvmod.tv(xp)), rtol=1e-5)
+    back = dist.unpad_slices(xs, orig)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))

@@ -1,0 +1,480 @@
+"""User-facing reconstructor classes mirroring the reference API surface.
+
+`TomoTPU` mirrors `TomoGPU` (reference tomofusion/gpu/reconstructor.py) and
+`ChemicalTomo` mirrors its namesake (chemistry/reconstructor.py); the
+reference README quickstart translates 1:1:
+
+    from tomojax import TomoTPU
+    tomo = TomoTPU(tiltAngles, tiltSeries)     # angles in degrees
+    tomo.fista(Niter=50, lambda_param=0.1)
+    recon = tomo.get_recon()                   # (Nslice, Nray, Nray)
+
+Differences by design (TPU-native): there is no engine-object zoo
+(tomoengine vs multigpuengine vs mpi engine — reference
+reconstructor.py:23-29); one class runs on any `jax.sharding.Mesh`. Pass
+``mesh=`` (or let it default to all local devices) and the volume is
+sharded as z-slabs; single-device behavior is identical.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tomojax.geometry import Geometry
+from tomojax import dist, ops
+from tomojax import tv as tvmod
+from tomojax.projector.joseph import fp
+from tomojax.projector.filters import FILTERS
+from tomojax.solvers import (
+    make_system,
+    make_sart_weights,
+    sirt_sweep,
+    sart_sweep,
+    cgls_run,
+    poisson_ml_step,
+    fbp,
+    fista_init,
+    fista_step,
+    make_asd_pocs_iteration,
+)
+from tomojax.fusion import (
+    make_fusion_system,
+    weights_for_elements,
+    poisson_ml_step_4d,
+    data_fusion_step,
+    rescale_tomograms,
+    rescale_projections,
+)
+
+
+def _to_sinogram(tilt_series: np.ndarray) -> np.ndarray:
+    """(Nslice, Nray, Nangles) -> (Nslice, Nangles, Nray), the angle-major
+    per-slice layout (reference reconstructor.py:54-59 transpose/ravel)."""
+    return np.ascontiguousarray(np.transpose(tilt_series, (0, 2, 1)))
+
+
+class TomoTPU:
+    """Batched tilt-series reconstructor (reference TomoGPU parity)."""
+
+    def __init__(
+        self,
+        tilt_angles: np.ndarray,
+        tilt_series: Optional[np.ndarray] = None,
+        mesh=None,
+        use_mesh: bool = False,
+    ):
+        self.mesh = mesh if mesh is not None else (
+            dist.make_mesh() if use_mesh or jax.device_count() > 1 else None
+        )
+        self.tilt_angles = np.asarray(tilt_angles, np.float64)
+        self.recon = None
+        self.cost = None
+        self._sart_w = None
+        self._order_key = jax.random.PRNGKey(0)
+        if tilt_series is not None:
+            self.set_tilt_series(tilt_series)
+
+    # ------------------------------------------------------------- data --
+
+    def set_tilt_series(self, tilt_series: np.ndarray):
+        """(Nslice, Nray, Nangles), tilt axis on dim 0 (README.md:36)."""
+        self.Nslice, self.Nray, self.Nangles = tilt_series.shape
+        assert self.Nangles == len(self.tilt_angles), (
+            f"tilt series has {self.Nangles} angles, "
+            f"angle array has {len(self.tilt_angles)}"
+        )
+        self.geom = Geometry.make(self.Nray, np.deg2rad(self.tilt_angles))
+        self.sys = make_system(self.geom)
+        b = jnp.asarray(_to_sinogram(tilt_series), jnp.float32)
+        self._ns_orig = self.Nslice
+        if self.mesh is not None:
+            b, self._ns_orig = dist.pad_slices(b, self.mesh)
+            b = dist.shard_volume(b, self.mesh)
+        self.b = b
+        self._b_max_normalized = False
+        self.x = self._zeros_volume()
+        self.recon = None
+        self._sart_w = None
+
+    def _zeros_volume(self):
+        ns = self.b.shape[0]
+        x = jnp.zeros((ns, self.Nray, self.Nray), jnp.float32)
+        if self.mesh is not None:
+            x = dist.shard_volume(x, self.mesh)
+        return x
+
+    def restart_recon(self):
+        self.x = self._zeros_volume()
+        self.recon = None
+
+    # -------------------------------------------------------- algorithms --
+
+    def wbp(self, filter: str = "ram-lak", apply_positivity: bool = True):
+        """Filtered backprojection (reference reconstructor.py:61-73)."""
+        if filter not in FILTERS:
+            print(f"{filter} filter not supported. Defaulting to ram-lak.")
+            filter = "ram-lak"
+        self.x = jax.jit(
+            lambda b: fbp(b, self.geom, filter, apply_positivity)
+        )(self.b)
+        self.recon = None
+        return self
+
+    def sirt(self, Niter: int = 150, show_convergence: bool = True):
+        self.restart_recon()
+        step = jax.jit(lambda x, b: sirt_sweep(x, b, self.sys, 1))
+        self._run_iterative(step, Niter, show_convergence)
+        return self
+
+    def sart(
+        self, Niter: int = 150, init: str = "sequential",
+        beta: float = 1.0, show_convergence: bool = True,
+    ):
+        if init not in ("sequential", "random"):
+            print(f"{init} order not supported. Defaulting to sequential.")
+            init = "sequential"
+        self.restart_recon()
+        if self._sart_w is None:
+            self._sart_w = make_sart_weights(self.sys)
+        step = jax.jit(
+            lambda x, b, order: sart_sweep(x, b, self.sys, self._sart_w, beta, order)
+        )
+        seq = jnp.arange(self.geom.nproj, dtype=jnp.int32)
+        self.cost = np.zeros(Niter, np.float32)
+        ddj = jax.jit(lambda x, b: ops.data_distance(fp(x, self.geom), b))
+        for i in range(Niter):
+            order = seq
+            if init == "random":
+                self._order_key, sub = jax.random.split(self._order_key)
+                order = jax.random.permutation(sub, self.geom.nproj).astype(jnp.int32)
+            self.x = step(self.x, self.b, order)
+            if show_convergence:
+                self.cost[i] = float(ddj(self.x, self.b))
+        self.recon = None
+        return self
+
+    def cgls(self, Niter: int = 100, show_convergence: bool = True):
+        """CGLS; positivity applied after the run (tomoengine.cpp:228)."""
+        self.restart_recon()
+        x = jax.jit(lambda x, b: cgls_run(x, b, self.sys, Niter))(self.x, self.b)
+        self.x = jnp.maximum(x, 0.0)
+        if show_convergence:
+            self.cost = np.asarray(
+                [float(ops.data_distance(fp(self.x, self.geom), self.b))]
+            )
+        self.recon = None
+        return self
+
+    def kl_divergence(self, Niter: int = 100, lambda_param: float = 0.1):
+        """Poisson-ML (reference reconstructor.py:113-119); b normalized to
+        max 1 first (tomoengine.cpp:245)."""
+        self.restart_recon()
+        if not self._b_max_normalized:
+            bmax = float(jnp.max(self.b))
+            if bmax > 1:
+                self.b = self.b / bmax
+            self._b_max_normalized = True
+        step = jax.jit(
+            lambda x, b: poisson_ml_step(x, b, self.sys, lambda_param)
+        )
+        self.cost = np.zeros(Niter, np.float32)
+        for i in range(Niter):
+            self.x, c = step(self.x, self.b)
+            self.cost[i] = float(c)
+        self.recon = None
+        return self
+
+    def fista(
+        self,
+        Niter: int = 100,
+        momentum: bool = True,
+        lambda_param: float = 0.1,
+        nTViter: int = 10,
+        show_convergence: bool = True,
+        compat: str = "correct",
+    ):
+        """FISTA-TV (reference reconstructor.py:121-155). See
+        solvers/fista.py for the documented reference-compat deviation."""
+        self.restart_recon()
+        st = fista_init(self.x)
+        step = jax.jit(
+            lambda st, b: fista_step(
+                st, b, self.sys, lambda_param, nTViter, momentum, compat
+            )
+        )
+        self.cost = np.zeros(Niter, np.float32)
+        for k in range(Niter):
+            st, (cost, dd, tvv) = step(st, self.b)
+            if show_convergence:
+                self.cost[k] = float(cost)
+        self.x = st.x
+        self.recon = None
+        return self
+
+    def asd_pocs(
+        self,
+        Niter: int = 100,
+        eps: float = 0.025,
+        beta0: float = 0.25,
+        beta_reduce: float = 0.9985,
+        r_max: float = 0.95,
+        nTViter: int = 10,
+        alpha: float = 0.2,
+        alpha_reduce: float = 0.95,
+        init: str = "sequential",
+        show_convergence: bool = True,
+    ):
+        """ASD-POCS with the reference's *working* adaptation logic
+        (cpu/sim_ASD.py:65-96 — TomoGPU.asd_pocs itself has undefined-name
+        bugs, SURVEY.md §2.5)."""
+        self.restart_recon()
+        if self._sart_w is None:
+            self._sart_w = make_sart_weights(self.sys)
+        run = make_asd_pocs_iteration(self.sys, self._sart_w, nTViter)
+        seq = jnp.arange(self.geom.nproj, dtype=jnp.int32)
+        beta, dpocs = beta0, 0.0
+        self.dd_vec = np.zeros(Niter, np.float32)
+        self.tv_vec = np.zeros(Niter, np.float32)
+        for i in range(Niter):
+            order = seq
+            if init == "random":
+                self._order_key, sub = jax.random.split(self._order_key)
+                order = jax.random.permutation(sub, self.geom.nproj).astype(jnp.int32)
+            self.x, dp, dd, dg, tv0 = run(self.x, self.b, beta, dpocs, order)
+            beta *= beta_reduce
+            dp, dd, dg = float(dp), float(dd), float(dg)
+            self.dd_vec[i], self.tv_vec[i] = dd, float(tv0)
+            if i == 0:
+                dpocs = alpha * dp
+            if dg > r_max * dp and dd > eps:
+                dpocs *= alpha_reduce
+        self.cost = self.dd_vec
+        self.recon = None
+        return self
+
+    # ----------------------------------------------------------- metrics --
+
+    def _run_iterative(self, step, Niter, show_convergence):
+        self.cost = np.zeros(Niter, np.float32)
+        ddj = jax.jit(lambda x, b: ops.data_distance(fp(x, self.geom), b))
+        for i in range(Niter):
+            self.x = step(self.x, self.b)
+            if show_convergence:
+                self.cost[i] = float(ddj(self.x, self.b))
+
+    def data_distance(self) -> float:
+        return float(ops.data_distance(fp(self.x, self.geom), self.b))
+
+    def tv(self) -> float:
+        return float(tvmod.tv(self.x))
+
+    def lipschitz(self) -> float:
+        return float(self.sys.lipschitz)
+
+    # ------------------------------------------------------------ output --
+
+    def get_recon(self) -> np.ndarray:
+        if self.recon is None:
+            x = self.x
+            if self.mesh is not None:
+                x = dist.unpad_slices(x, self._ns_orig)
+            self.recon = np.asarray(x)
+        return self.recon
+
+    def get_projections(self) -> np.ndarray:
+        b = self.b
+        if self.mesh is not None:
+            b = dist.unpad_slices(b, self._ns_orig)
+        return np.asarray(b)
+
+    def get_model_projections(self) -> np.ndarray:
+        g = fp(self.x, self.geom)
+        if self.mesh is not None:
+            g = dist.unpad_slices(g, self._ns_orig)
+        return np.asarray(g)
+
+    def plot_convergence(self, path: Optional[str] = None):
+        from tomojax import viz
+
+        return viz.plot_convergence(self.cost, path=path)
+
+    def show_recon(self, path: Optional[str] = None):
+        from tomojax import viz
+
+        return viz.show_volume(self.get_recon(), path=path)
+
+
+class Simulator(TomoTPU):
+    """Simulation-study driver (reference gpu/simulator.py, repaired:
+    the original has a syntax error and broken imports — SURVEY.md §2.5)."""
+
+    def __init__(self, volume: np.ndarray, tilt_angles: np.ndarray,
+                 snr: int = 0, mesh=None):
+        self.original = np.asarray(volume, np.float32)
+        ns, n, _ = self.original.shape
+        from tomojax.sim import create_projections
+
+        geom = Geometry.make(n, np.deg2rad(np.asarray(tilt_angles)))
+        if snr:
+            self.original = np.where(self.original == 0, 1.0, self.original)
+        b = np.asarray(create_projections(self.original, geom, snr=snr))
+        # back to (Nslice, Nray, Nangles) for the parent ctor
+        series = np.transpose(b, (0, 2, 1))
+        super().__init__(np.asarray(tilt_angles), series, mesh=mesh)
+
+    def rmse(self) -> float:
+        gt = jnp.asarray(self.original)
+        x = self.x
+        if self.mesh is not None:
+            x = dist.unpad_slices(x, self._ns_orig)
+        return float(ops.rmse(x, gt))
+
+
+class ChemicalTomo:
+    """Fused multi-modal reconstructor (reference chemistry/reconstructor.py)."""
+
+    def __init__(
+        self,
+        haadf: np.ndarray,
+        haadfTiltAngles: np.ndarray,
+        chem: Dict[str, np.ndarray],
+        chemTiltAngles: np.ndarray,
+        gamma: float = 1.6,
+        sigmaMethod: int = 3,
+        mesh=None,
+    ):
+        self.nx, self.ny, _ = haadf.shape  # (Nslice, Nray, NaH)
+        self.elements = list(chem)
+        self.nel = len(self.elements)
+        self.gamma, self.sigmaMethod = gamma, sigmaMethod
+        self.reduceLambda = True
+        self.mesh = mesh
+
+        # normalize + reshape (reconstructor.py:94-137)
+        h = np.maximum(np.asarray(haadf, np.float32), 0)
+        h /= max(h.max(), 1e-30)
+        self.b_haadf = jnp.asarray(_to_sinogram(h))
+        stack = []
+        for el in self.elements:
+            c = np.maximum(np.asarray(chem[el], np.float32), 0)
+            c /= max(c.max(), 1e-30)
+            stack.append(_to_sinogram(c))
+        self.b_chem = jnp.asarray(np.stack(stack))  # (Nel, Ns, NaC, Nt)
+
+        w = weights_for_elements(self.elements, gamma, sigmaMethod)
+        self.fsys = make_fusion_system(
+            self.ny,
+            np.deg2rad(np.asarray(haadfTiltAngles)),
+            np.deg2rad(np.asarray(chemTiltAngles)),
+            w,
+            gamma,
+        )
+        self.x = jnp.zeros((self.nel, self.nx, self.ny, self.ny), jnp.float32)
+        if mesh is not None:
+            self.x = dist.shard_volume_4d(self.x, mesh)
+            self.b_chem = jax.device_put(
+                self.b_chem,
+                jax.sharding.NamedSharding(mesh, dist.slab_spec(4, 1)),
+            )
+            self.b_haadf = dist.shard_volume(self.b_haadf, mesh)
+        self.reconTotal = None
+        self.chemistry_reconstructed = False
+
+    def restart_recon(self):
+        self.x = jnp.zeros_like(self.x)
+        self.reconTotal = None
+
+    def chemical_tomography(
+        self, Niter: int = 100, lambdaCHEM: float = 0.05,
+        show_convergence: bool = True,
+    ):
+        """Chemistry-only Poisson-ML (reconstructor.py:157-180)."""
+        self.restart_recon()
+        step = jax.jit(
+            lambda x: poisson_ml_step_4d(x, self.b_chem, self.fsys, lambdaCHEM)
+        )
+        self.costCHEM = np.zeros(Niter, np.float32)
+        for i in range(Niter):
+            self.x, c = step(self.x)
+            self.costCHEM[i] = float(c)
+        self.chemistry_reconstructed = True
+        self.reconTotal = None
+        return self
+
+    def _rescale_data(self, scale: float = 10.0):
+        """reconstructor.py:227-236."""
+        self.x = rescale_tomograms(self.x, scale)
+        self.b_haadf = jax.jit(
+            lambda x, bh: rescale_projections(x, bh, self.fsys)
+        )(self.x, self.b_haadf)
+
+    def data_fusion(
+        self,
+        Niter: int = 50,
+        lambdaCHEM: float = 5e-2,
+        lambdaHAADF: float = 10.0,
+        lambdaTV: float = 1e-4,
+        iterSIRT: int = 5,
+        tvIter: int = 5,
+        show_convergence: bool = True,
+        normalize_haadf: bool = False,
+    ):
+        """Fused reconstruction loop (reconstructor.py:182-225), including
+        the adaptive lambdaCHEM *= 0.95 decay on HAADF-cost increase.
+
+        Defaults mirror the reference recipe (tuned on its experimental
+        datasets); on differently-scaled data the raw lambdaHAADF step can
+        oscillate — set normalize_haadf=True to scale it by the HAADF-path
+        Lipschitz constant (see fusion/multimodal.py)."""
+        if not self.chemistry_reconstructed:
+            self.chemical_tomography(
+                lambdaCHEM=lambdaCHEM, show_convergence=show_convergence
+            )
+        self._rescale_data()
+
+        from tomojax.fusion.multimodal import tv_fgp_4d
+
+        fuse = jax.jit(
+            lambda x, lc: data_fusion_step(
+                x, self.b_haadf, self.b_chem, self.fsys,
+                lambdaHAADF, lc, iterSIRT, normalize_haadf,
+            )
+        )
+        tvstep = jax.jit(lambda x: tv_fgp_4d(x, tvIter, lambdaTV))
+        self.costHAADF = np.zeros(Niter, np.float32)
+        self.costCHEM = np.zeros(Niter, np.float32)
+        self.costTV = np.zeros(Niter, np.float32)
+        lam_chem = lambdaCHEM
+        for i in range(Niter):
+            self.x, ch, cc = fuse(self.x, lam_chem)
+            self.x, tv0 = tvstep(self.x)
+            self.costHAADF[i], self.costCHEM[i] = float(ch), float(cc)
+            self.costTV[i] = float(tv0)
+            if (
+                self.reduceLambda
+                and i > 0
+                and self.costHAADF[i] > self.costHAADF[i - 1]
+            ):
+                lam_chem *= 0.95
+        self.reconTotal = None
+        return self
+
+    def rmse_per_element(self, ground_truth) -> np.ndarray:
+        return np.asarray(
+            ops.rmse_per_element(self.x, jnp.asarray(ground_truth))
+        )
+
+    def get_recon(self) -> np.ndarray:
+        """(Nel, Nslice, Nray, Nray) (reconstructor.py:238-249)."""
+        if self.reconTotal is None:
+            self.reconTotal = np.asarray(self.x)
+        return self.reconTotal
+
+    def display_recon(self, path=None):
+        from tomojax import viz
+
+        return viz.show_elements(self.get_recon(), self.elements, path=path)

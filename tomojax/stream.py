@@ -1,0 +1,304 @@
+"""Dynamic / streaming tomography: reconstruct while projections arrive.
+
+TPU-native re-design of the reference's dynamic-acquisition stack
+(SURVEY.md P9/P10 + §3.5): `logger.py` watches a local or SFTP directory
+for new micrographs, preprocesses them (corner-patch background
+subtraction, center-of-mass alignment), appends to an HDF5 log, and the
+driver loop (cpu/dynamicTomo.py:66-104) reconstructs until new tilts
+appear, then *grows the measurement operator*.
+
+Key TPU-side difference: growing the angle set in the reference rebuilds
+ASTRA geometry objects (tomoengine.cpp:130-149) or re-traces the whole
+sparse matrix (ctvlib.cpp:317-333). Here angles are static metadata on a
+`Geometry`; a new angle count is just a new (cached) jit specialization.
+To bound recompiles, `DynamicReconstructor` pads the angle axis up to
+`angle_bucket` multiples with zero-weighted angles, so a growing series
+triggers at most Nproj/bucket compilations (SURVEY.md §7.3 "dynamic angle
+count" mitigation).
+
+File formats: `.npy` / `.h5` / `.tif` per-projection files with the tilt
+angle parsed from the filename (e.g. ``proj_-42.0.npy``) or provided by a
+callback; the reference's `.dm4`+SFTP path (paramiko/ncempy) is an
+optional hook — pass a custom `read_fn` / listing function.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tomojax.geometry import Geometry
+from tomojax import io as tio
+
+_ANGLE_RE = re.compile(r"(-?\d+(?:\.\d+)?)\s*(?:deg)?\.(?:npy|h5|tiff?|dm4)$")
+
+
+def parse_angle_from_name(path: str) -> float:
+    """Tilt angle in degrees from the file name (replaces the reference's
+    DM-metadata tag read, logger.py:177-181)."""
+    m = _ANGLE_RE.search(os.path.basename(path))
+    if not m:
+        raise ValueError(f"cannot parse tilt angle from {path!r}")
+    return float(m.group(1))
+
+
+def read_projection(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if path.endswith(".h5"):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            key = next(iter(f.keys()))
+            return np.asarray(f[key], np.float32)
+    if path.endswith((".tif", ".tiff")):
+        from PIL import Image
+
+        return np.asarray(Image.open(path), np.float32)
+    raise ValueError(f"unsupported projection file {path!r}")
+
+
+def background_subtract(img: np.ndarray, patch: int = 15) -> np.ndarray:
+    """Subtract the mean of a corner patch and clamp at zero
+    (logger.py:255-263)."""
+    bg = img[:patch, :patch].mean()
+    out = img - bg
+    out[out < 0] = 0
+    return out
+
+
+def center_of_mass_align(img: np.ndarray) -> np.ndarray:
+    """Integer-shift the image so its center of mass sits at the center
+    (np.roll based, logger.py:237-252)."""
+    total = img.sum()
+    if total <= 0:
+        return img
+    ny, nx = img.shape
+    cy = (np.arange(ny)[:, None] * img).sum() / total
+    cx = (np.arange(nx)[None, :] * img).sum() / total
+    return np.roll(
+        np.roll(img, int(round(ny / 2 - cy)), axis=0),
+        int(round(nx / 2 - cx)),
+        axis=1,
+    )
+
+
+class TiltWatcher:
+    """Polls a directory for new projection files (logger.py:15-123).
+
+    Each call to `poll()` returns newly arrived (angle_deg, image) pairs in
+    arrival order. Images are preprocessed (background subtract + CoM
+    align) unless disabled."""
+
+    def __init__(
+        self,
+        directory: str,
+        extension: str = ".npy",
+        angle_fn: Callable[[str], float] = parse_angle_from_name,
+        read_fn: Callable[[str], np.ndarray] = read_projection,
+        list_fn: Optional[Callable[[], List[str]]] = None,
+        preprocess: bool = True,
+        log_path: Optional[str] = None,
+    ):
+        self.directory = directory
+        self.extension = extension
+        self.angle_fn = angle_fn
+        self.read_fn = read_fn
+        self.list_fn = list_fn
+        self.preprocess = preprocess
+        self.log_path = log_path
+        self.seen: set = set()
+        self.angles: List[float] = []
+        self.images: List[np.ndarray] = []
+
+    def _listing(self) -> List[str]:
+        if self.list_fn is not None:
+            return sorted(self.list_fn())
+        if not os.path.isdir(self.directory):
+            return []
+        return sorted(
+            os.path.join(self.directory, f)
+            for f in os.listdir(self.directory)
+            if f.endswith(self.extension)
+        )
+
+    def poll(self) -> List[Tuple[float, np.ndarray]]:
+        new = []
+        for path in self._listing():
+            if path in self.seen:
+                continue
+            try:
+                ang = self.angle_fn(path)
+                img = self.read_fn(path)
+            except (ValueError, OSError):
+                continue
+            if self.preprocess:
+                img = center_of_mass_align(background_subtract(img))
+            self.seen.add(path)
+            self.angles.append(ang)
+            self.images.append(img)
+            new.append((ang, img))
+        if new and self.log_path:
+            self._append_log()
+        return new
+
+    def _append_log(self):
+        """Persist the running (projs, tilts) log (logger.py:113-123)."""
+        import h5py
+
+        with h5py.File(self.log_path, "w") as f:
+            f["tiltAngles"] = np.asarray(self.angles, np.float64)
+            f["projections"] = np.stack(self.images)
+
+    def check_for_new_tilts(self) -> bool:
+        return len(self.poll()) > 0
+
+
+class DynamicReconstructor:
+    """Streaming reconstruction driver (cpu/dynamicTomo.py:66-104).
+
+    Owns a growing tilt series; `step_until_new_data` runs solver
+    iterations between acquisitions; the operator grows by re-binding a new
+    Geometry (bucketed to limit recompiles)."""
+
+    def __init__(
+        self,
+        nray: int,
+        max_angles: int,
+        angle_bucket: int = 8,
+        alg: str = "sirt",
+        checkpoint_path: Optional[str] = None,
+    ):
+        self.nray = nray
+        self.max_angles = max_angles
+        self.angle_bucket = angle_bucket
+        self.alg = alg
+        self.checkpoint_path = checkpoint_path
+        self.angles: List[float] = []
+        self.projections: List[np.ndarray] = []  # each (Nslice, Nray)
+        self.x = None
+        self.dd_history: List[float] = []
+        self._cache = {}
+
+    # ------------------------------------------------------------ data --
+
+    def add_projections(self, new: Sequence[Tuple[float, np.ndarray]]):
+        for ang, img in new:
+            self.angles.append(float(ang))
+            self.projections.append(np.asarray(img, np.float32))
+
+    def _bucketed(self) -> int:
+        n = len(self.angles)
+        b = self.angle_bucket
+        return min(self.max_angles, ((n + b - 1) // b) * b)
+
+    def _system(self):
+        """(Geometry, System, b, mask) for the current bucketed angle set;
+        padded angles are masked to zero weight so they contribute nothing
+        to any update (they replicate the last real angle geometrically)."""
+        from tomojax.solvers import make_system
+
+        nb = self._bucketed()
+        n_real = len(self.angles)
+        angles = np.zeros(nb)
+        angles[:n_real] = self.angles
+        if n_real and nb > n_real:
+            angles[n_real:] = self.angles[-1]
+        geom = Geometry.make(self.nray, np.deg2rad(angles))
+        sysd = make_system(geom)
+        nslice = self.projections[0].shape[0]
+        b = np.zeros((nslice, nb, self.nray), np.float32)
+        for i, p in enumerate(self.projections):
+            b[:, i, :] = p
+        mask = np.zeros((1, nb, 1), np.float32)
+        mask[:, :n_real] = 1.0
+        return geom, sysd, b, mask
+
+    # ---------------------------------------------------------- solve --
+
+    def iterate(self, n_iter: int = 10) -> float:
+        """Run `n_iter` masked SIRT sweeps on the current data; returns the
+        masked data distance (dynamicTomo.py:77-84)."""
+        import jax
+        import jax.numpy as jnp
+        from tomojax.projector.joseph import fp, bp
+
+        geom, sysd, b, mask = self._system()
+        bj, mj = jnp.asarray(b), jnp.asarray(mask)
+        nslice = b.shape[0]
+        if self.x is None or self.x.shape[0] != nslice:
+            self.x = jnp.zeros((nslice, self.nray, self.nray), jnp.float32)
+
+        # Masked SIRT: zero the padded angles' residual weights; the column
+        # weights come from the masked row geometry too so the update stays
+        # a proper SIRT step on the real angle subset.
+        inv_r = sysd.inv_row * mj
+        ones_masked = jnp.broadcast_to(mj, (1, geom.nproj, geom.nray))
+        col = bp(ones_masked, geom)
+        inv_c = jnp.where(col > 1e-6, 1.0 / jnp.maximum(col, 1e-6), 0.0)
+
+        @jax.jit
+        def step(x, b):
+            resid = (b - fp(x, geom)) * inv_r
+            x = x + inv_c * bp(resid, geom)
+            return jnp.maximum(x, 0.0)
+
+        for _ in range(n_iter):
+            self.x = step(self.x, bj)
+        resid = (fp(self.x, geom) - bj) * mj
+        dd = float(jnp.sqrt(jnp.sum(resid * resid)))
+        self.dd_history.append(dd)
+        return dd
+
+    def checkpoint(self):
+        if self.checkpoint_path:
+            tio.save_checkpoint(
+                self.checkpoint_path,
+                np.asarray(self.x),
+                {"dd": np.asarray(self.dd_history, np.float32)},
+                {"n_angles": len(self.angles)},
+            )
+
+    def resume(self):
+        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+            import jax.numpy as jnp
+
+            recon, hist, meta = tio.load_checkpoint(self.checkpoint_path)
+            if recon is not None:
+                self.x = jnp.asarray(recon)
+            if "dd" in hist:
+                self.dd_history = list(np.asarray(hist["dd"]))
+            return True
+        return False
+
+    def run(
+        self,
+        watcher: TiltWatcher,
+        iters_per_round: int = 10,
+        max_rounds: int = 100,
+        expected_angles: Optional[int] = None,
+        poll_sleep: float = 0.0,
+    ):
+        """Reconstruct-until-new-data loop (dynamicTomo.py:66-104)."""
+        expected = expected_angles or self.max_angles
+        rounds = 0
+        while rounds < max_rounds:
+            new = watcher.poll()
+            if new:
+                self.checkpoint()
+                self.add_projections(new)
+            if self.projections:
+                self.iterate(iters_per_round)
+            rounds += 1
+            if len(self.angles) >= expected:
+                break
+            if poll_sleep:
+                time.sleep(poll_sleep)
+        if self.projections:
+            self.iterate(iters_per_round)
+            self.checkpoint()
+        return self.x
