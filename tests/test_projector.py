@@ -47,29 +47,51 @@ def test_fp_matches_siddon_oracle(angles_deg):
     assert rel < 1e-2, rel
 
 
+@pytest.mark.parametrize("mode", ["gather", "mxu"])
 @pytest.mark.parametrize("angles_deg", ANGLE_SETS, ids=["tilt", "half", "mixed"])
-def test_adjoint_dot_product(angles_deg):
+def test_adjoint_dot_product(angles_deg, mode):
     n = 32
     geom = Geometry.make(n, np.deg2rad(angles_deg))
     rng = np.random.default_rng(0)
     x = rng.standard_normal((2, n, n)).astype(np.float32)
     y = rng.standard_normal((2, len(angles_deg), n)).astype(np.float32)
-    lhs = np.vdot(np.asarray(jax.jit(partial(fp, geom=geom))(jnp.asarray(x))), y)
-    rhs = np.vdot(x, np.asarray(jax.jit(partial(bp, geom=geom))(jnp.asarray(y))))
+    lhs = np.vdot(
+        np.asarray(jax.jit(partial(fp, geom=geom, mode=mode))(jnp.asarray(x))), y
+    )
+    rhs = np.vdot(
+        x, np.asarray(jax.jit(partial(bp, geom=geom, mode=mode))(jnp.asarray(y)))
+    )
     # Weights computed in f32 through two algebraically-identical paths;
-    # mismatch is bounded by f32 rounding noise (see joseph.py docstring).
+    # mismatch is bounded by rounding noise of the path (see joseph.py).
     assert abs(lhs - rhs) / max(abs(lhs), 1e-6) < 1e-3
+
+
+def test_mxu_matches_gather():
+    """The MXU one-hot contraction is the same operator as the gather path
+    (to matmul rounding at the configured precision)."""
+    n = 32
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-70, 70, 25)))
+    x = jnp.asarray(_smooth_phantom(n))
+    p_g = np.asarray(fp(x, geom, "gather"))
+    p_m = np.asarray(fp(x, geom, "mxu"))
+    assert np.linalg.norm(p_m - p_g) / np.linalg.norm(p_g) < 1e-4
+    y = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 25, n)).astype(np.float32)
+    )
+    b_g = np.asarray(bp(y, geom, "gather"))
+    b_m = np.asarray(bp(y, geom, "mxu"))
+    assert np.linalg.norm(b_m - b_g) / np.linalg.norm(b_g) < 1e-4
 
 
 def test_bp_is_exact_transpose_structurally():
     """Dense-matrix check on a tiny problem: BP^T == FP elementwise to f32
-    weight rounding."""
+    weight rounding (gather mode — the strict-adjoint path)."""
     n = 6
     angles = np.deg2rad([-52.5, 20.0, 80.0])
     geom = Geometry.make(n, angles)
     na = len(angles)
-    fpj = jax.jit(partial(fp, geom=geom))
-    bpj = jax.jit(partial(bp, geom=geom))
+    fpj = jax.jit(partial(fp, geom=geom, mode="gather"))
+    bpj = jax.jit(partial(bp, geom=geom, mode="gather"))
     a_fp = np.zeros((na * n, n * n))
     for k in range(n * n):
         e = np.zeros((1, n, n), np.float32)
@@ -88,7 +110,7 @@ def test_single_angle_consistency():
     angles = np.deg2rad([-60.0, 10.0, 45.0, 100.0])
     geom = Geometry.make(n, angles)
     x = jnp.asarray(_smooth_phantom(n))
-    p_full = np.asarray(fp(x, geom))
+    p_full = np.asarray(fp(x, geom, "gather"))
     for a in range(len(angles)):
         p1 = np.asarray(
             fp_single_angle(
@@ -103,7 +125,7 @@ def test_single_angle_consistency():
 
     rng = np.random.default_rng(1)
     y = rng.standard_normal((2, len(angles), n)).astype(np.float32)
-    b_full = np.asarray(bp(jnp.asarray(y), geom))
+    b_full = np.asarray(bp(jnp.asarray(y), geom, "gather"))
     b_sum = np.zeros_like(b_full)
     for a in range(len(angles)):
         b_sum += np.asarray(

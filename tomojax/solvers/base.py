@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tomojax.geometry import Geometry
-from tomojax.projector.joseph import _fp_branch, fp, bp
+from tomojax.projector.joseph import fp, bp
 
 _WEIGHT_EPS = 1e-6
 

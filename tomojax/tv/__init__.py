@@ -100,24 +100,34 @@ def tv_gd(x, ng: int, dpocs, axis_norm=None):
 
 
 def _fdiff(d, axis):
-    """Forward difference with zero at the far boundary (tv_fgp.cu:79-88)."""
+    """Forward difference with zero at the far boundary (tv_fgp.cu:79-88).
+
+    Slice+concat form (no roll / scatter) — fuses better on TPU."""
     nd = d.ndim
-    shifted = jnp.roll(d, -1, axis=axis)
-    out = d - shifted
-    # zero the last plane along `axis`
-    idx = [slice(None)] * nd
-    idx[axis] = slice(-1, None)
-    return out.at[tuple(idx)].set(0.0)
+    sl_main = [slice(None)] * nd
+    sl_main[axis] = slice(0, -1)
+    sl_next = [slice(None)] * nd
+    sl_next[axis] = slice(1, None)
+    zshape = list(d.shape)
+    zshape[axis] = 1
+    return jnp.concatenate(
+        [d[tuple(sl_main)] - d[tuple(sl_next)], jnp.zeros(zshape, d.dtype)],
+        axis=axis,
+    )
 
 
 def _bdiff_accum(p, axis):
     """p[i] - p[i-1] with zero below the low boundary (tv_fgp.cu:56-62)."""
     nd = p.ndim
-    shifted = jnp.roll(p, 1, axis=axis)
-    idx = [slice(None)] * nd
-    idx[axis] = slice(0, 1)
-    shifted = shifted.at[tuple(idx)].set(0.0)
-    return p - shifted
+    sl_lo = [slice(None)] * nd
+    sl_lo[axis] = slice(0, 1)
+    sl_main = [slice(None)] * nd
+    sl_main[axis] = slice(1, None)
+    sl_prev = [slice(None)] * nd
+    sl_prev[axis] = slice(0, -1)
+    return jnp.concatenate(
+        [p[tuple(sl_lo)], p[tuple(sl_main)] - p[tuple(sl_prev)]], axis=axis
+    )
 
 
 def tv_fgp(x, n_iter: int, lam):
