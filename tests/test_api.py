@@ -64,6 +64,25 @@ def test_sirt_sart_cgls_wbp_kl():
     tomo.wbp("definitely-not-a-filter")
 
 
+def test_kl_does_not_corrupt_tilt_series():
+    """kl_divergence must not mutate the stored sinogram (the reference
+    C++ engine normalizes b in place, silently rescaling every later
+    algorithm run — tomoengine.cpp:245; we keep b intact and rescale the
+    reconstruction back to data units)."""
+    ts, ph = _series()
+    tomo = TomoTPU(ANGLES, ts * 50.0)  # data units >> 1
+    b_before = np.asarray(tomo.b).copy()
+    tomo.kl_divergence(Niter=20, lambda_param=0.3)
+    np.testing.assert_array_equal(np.asarray(tomo.b), b_before)
+    # reconstruction comes back in data units (amplitude ~50x phantom)
+    kl_max = tomo.get_recon().max()
+    assert kl_max > 1.0, kl_max
+    # a subsequent SIRT run is unaffected
+    tomo.sirt(Niter=30, show_convergence=False)
+    rel = np.abs(tomo.get_recon() - 50 * ph).mean() / (50 * np.abs(ph).mean())
+    assert rel < 0.5, rel
+
+
 def test_asd_pocs_api():
     ts, _ = _series()
     tomo = TomoTPU(ANGLES, ts)

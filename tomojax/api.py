@@ -95,7 +95,6 @@ class TomoTPU:
             b, self._ns_orig = dist.pad_slices(b, self.mesh)
             b = dist.shard_volume(b, self.mesh)
         self.b = b
-        self._b_max_normalized = False
         self.x = self._zeros_volume()
         self.recon = None
         self._sart_w = None
@@ -170,21 +169,23 @@ class TomoTPU:
         return self
 
     def kl_divergence(self, Niter: int = 100, lambda_param: float = 0.1):
-        """Poisson-ML (reference reconstructor.py:113-119); b normalized to
-        max 1 first (tomoengine.cpp:245)."""
+        """Poisson-ML (reference reconstructor.py:113-119); a *copy* of b
+        is normalized to max 1 (tomoengine.cpp:245 normalizes the stored
+        tilt series in place, which silently rescales every later
+        algorithm run on the same engine — a footgun we don't replicate).
+        The reconstruction is rescaled back to data units afterwards."""
         self.restart_recon()
-        if not self._b_max_normalized:
-            bmax = float(jnp.max(self.b))
-            if bmax > 1:
-                self.b = self.b / bmax
-            self._b_max_normalized = True
+        bmax = max(float(jnp.max(self.b)), 1.0)
+        b_kl = self.b / bmax if bmax > 1 else self.b
         step = jax.jit(
             lambda x, b: poisson_ml_step(x, b, self.sys, lambda_param)
         )
         self.cost = np.zeros(Niter, np.float32)
         for i in range(Niter):
-            self.x, c = step(self.x, self.b)
+            self.x, c = step(self.x, b_kl)
             self.cost[i] = float(c)
+        if bmax > 1:
+            self.x = self.x * bmax
         self.recon = None
         return self
 

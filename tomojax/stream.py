@@ -254,6 +254,61 @@ class DynamicReconstructor:
         self.dd_history.append(dd)
         return dd
 
+    def iterate_cs(
+        self,
+        n_iter: int = 10,
+        ng: int = 10,
+        alpha: float = 0.2,
+        alpha_red: float = 0.95,
+        r_max: float = 0.95,
+        eps: float = 0.025,
+    ) -> float:
+        """Compressed-sensing (ASD-POCS-style) streaming rounds
+        (reference cpu/dynamicCS.py:84-116): each inner iteration does a
+        masked SIRT data step followed by `ng` TV-GD steps with the
+        adaptive dPOCS logic. Returns the final masked data distance."""
+        import jax
+        import jax.numpy as jnp
+        from tomojax.projector.joseph import fp, bp
+        from tomojax import tv as tvmod
+
+        geom, sysd, b, mask = self._system()
+        bj, mj = jnp.asarray(b), jnp.asarray(mask)
+        nslice = b.shape[0]
+        if self.x is None or self.x.shape[0] != nslice:
+            self.x = jnp.zeros((nslice, self.nray, self.nray), jnp.float32)
+
+        inv_r = sysd.inv_row * mj
+        ones_masked = jnp.broadcast_to(mj, (1, geom.nproj, geom.nray))
+        col = bp(ones_masked, geom)
+        inv_c = jnp.where(col > 1e-6, 1.0 / jnp.maximum(col, 1e-6), 0.0)
+
+        @jax.jit
+        def step(x, b, dpocs):
+            x0 = x
+            resid = (b - fp(x, geom)) * inv_r
+            x = jnp.maximum(x + inv_c * bp(resid, geom), 0.0)
+            dp = jnp.sqrt(jnp.sum((x - x0) ** 2))
+            r2 = (fp(x, geom) - b) * mj
+            dd = jnp.sqrt(jnp.sum(r2 * r2))
+            x1 = x
+            x, _ = tvmod.tv_gd(x, ng, dpocs)
+            dg = jnp.sqrt(jnp.sum((x - x1) ** 2))
+            return x, dp, dd, dg
+
+        dpocs = self._dpocs if hasattr(self, "_dpocs") else 0.0
+        dd = 0.0
+        for j in range(n_iter):
+            self.x, dp, dd, dg = step(self.x, bj, dpocs)
+            dp, dd, dg = float(dp), float(dd), float(dg)
+            if dpocs == 0.0:
+                dpocs = alpha * dp
+            if dg > r_max * dp and dd > eps:
+                dpocs *= alpha_red
+        self._dpocs = dpocs
+        self.dd_history.append(dd)
+        return dd
+
     def checkpoint(self):
         if self.checkpoint_path:
             tio.save_checkpoint(

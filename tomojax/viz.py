@@ -102,6 +102,48 @@ def show_volume(vol: np.ndarray, path: Optional[str] = None):
     return _finish(fig, path)
 
 
+class LiveMonitor:
+    """Headless live dashboard for dynamic experiments — the matplotlib
+    stand-in for the reference's pyqtgraph plotter (cpu/utils/plotter.py:
+    recon slice, DD curve vs eps, sinogram, TV curve). Call `update(...)`
+    each round; writes/refreshes a single PNG (or shows a window when a
+    display exists)."""
+
+    def __init__(self, path: Optional[str] = "live_monitor.png",
+                 eps: Optional[float] = None):
+        self.path = path
+        self.eps = eps
+
+    def update(self, recon, dd_history, sinogram=None, tv_history=None):
+        import matplotlib
+
+        if self.path:
+            matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        recon = np.asarray(recon)
+        fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+        axes[0][0].imshow(recon[recon.shape[0] // 2], cmap="gray")
+        axes[0][0].set_title("recon (central slice)")
+        axes[0][0].axis("off")
+        axes[0][1].plot(np.asarray(dd_history))
+        if self.eps is not None:
+            axes[0][1].axhline(self.eps, color="r", ls="--", label="eps")
+            axes[0][1].legend()
+        axes[0][1].set_title("data distance")
+        if sinogram is not None:
+            axes[1][0].imshow(np.asarray(sinogram), aspect="auto", cmap="gray")
+            axes[1][0].set_title("sinogram (slice 0)")
+        else:
+            axes[1][0].axis("off")
+        if tv_history is not None and len(tv_history):
+            axes[1][1].plot(np.asarray(tv_history))
+            axes[1][1].set_title("TV")
+        else:
+            axes[1][1].axis("off")
+        return _finish(fig, self.path)
+
+
 def show_elements(vol4d: np.ndarray, elements: Sequence[str],
                   slice_idx: Optional[int] = None,
                   path: Optional[str] = None):
