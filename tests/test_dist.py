@@ -98,6 +98,53 @@ def test_sharded_fista_step(mesh, problem):
     assert np.isclose(float(m[0]), float(m_ref[0]), rtol=1e-4)
 
 
+def test_sharded_fusion_4d(mesh):
+    """Chemistry 4D state sharded on the slice axis (axis 1): fused step
+    and 4D TV match the unsharded run (the reference's multigpufusion
+    OpenMP path, multigpufusion.cpp:162-226, subsumed by the mesh)."""
+    from jax.sharding import NamedSharding
+    from tomojax.fusion import (
+        make_fusion_system, weights_for_elements, fp4d, model_haadf,
+        data_fusion_step, poisson_ml_step_4d,
+    )
+    from tomojax.projector.joseph import fp as _fp
+    from tomojax import tv as tvmod
+
+    n = 24
+    rng = np.random.default_rng(3)
+    gt = jnp.asarray(rng.uniform(0, 1, (2, NS, n, n)), jnp.float32)
+    w = weights_for_elements(["c", "zn"], 1.6, 3)
+    fsys = make_fusion_system(
+        n, np.deg2rad(np.linspace(-70, 70, 10)),
+        np.deg2rad(np.linspace(-60, 60, 5)), w, 1.6,
+    )
+    b_chem = fp4d(gt, fsys.chem)
+    b_h = _fp(model_haadf(gt, fsys), fsys.haadf.geom)
+
+    x0 = jnp.zeros_like(gt)
+    ref, ch_ref, cc_ref = data_fusion_step(x0, b_h, b_chem, fsys, 0.5, 0.05, 2)
+    ref_p, cost_ref = poisson_ml_step_4d(x0, b_chem, fsys, 0.2)
+    ref_tv, _ = tvmod.tv_fgp_4d(gt, 3, 0.1)
+
+    sh4 = NamedSharding(mesh, P(None, "z", None, None))
+    xs = jax.device_put(x0, sh4)
+    bcs = jax.device_put(b_chem, sh4)
+    bhs = dist.shard_volume(b_h, mesh)
+    got, ch, cc = jax.jit(
+        lambda x, bh, bc: data_fusion_step(x, bh, bc, fsys, 0.5, 0.05, 2)
+    )(xs, bhs, bcs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    assert np.isclose(float(ch), float(ch_ref), rtol=1e-4)
+    got_p, cost = jax.jit(
+        lambda x, bc: poisson_ml_step_4d(x, bc, fsys, 0.2)
+    )(xs, bcs)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p), atol=1e-5)
+    got_tv, _ = jax.jit(lambda v: tvmod.tv_fgp_4d(v, 3, 0.1))(
+        jax.device_put(gt, sh4)
+    )
+    np.testing.assert_allclose(np.asarray(got_tv), np.asarray(ref_tv), atol=1e-5)
+
+
 def test_uneven_slab_split(mesh):
     """Ns not divisible by n_devices: pad_slices makes it shardable and
     results match the unsharded run on the same padded volume (the

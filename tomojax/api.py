@@ -204,7 +204,8 @@ class TomoTPU:
         st = fista_init(self.x)
         step = jax.jit(
             lambda st, b: fista_step(
-                st, b, self.sys, lambda_param, nTViter, momentum, compat
+                st, b, self.sys, lambda_param, nTViter, momentum, compat,
+                compute_metrics=show_convergence,
             )
         )
         self.cost = np.zeros(Niter, np.float32)

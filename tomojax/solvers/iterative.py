@@ -25,6 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tomojax import config as tjconfig
 from tomojax.projector.joseph import fp, bp
 from tomojax.solvers.base import System, fp_single_angle, bp_single_angle
 
@@ -73,22 +74,101 @@ def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
     """One ordered pass over all angle blocks (== ASTRA SART `run(Nproj)`).
 
     order: (Na,) int32 angle visiting order (sequential = arange; random =
-    a permutation, reference tomoengine.cpp:164 updateProjOrder)."""
+    a permutation, reference tomoengine.cpp:164 updateProjOrder).
+
+    Per-angle FP and BP are one-hot MXU contractions evaluated *in the
+    driving-axis-transposed layout* — the backprojection is applied as
+    W^T against the same interpolation matrices, so each angle costs two
+    volume transposes plus matmuls (the matched-transpose structure makes
+    FP/BP exact adjoints per block by construction)."""
     geom = sys.geom
-    na = geom.nproj
+    na, n, nt = geom.nproj, geom.n, geom.nray
+    ns = x.shape[0]
     if order is None:
         order = jnp.arange(na, dtype=jnp.int32)
     cosv = jnp.asarray(geom.cos, jnp.float32)
     sinv = jnp.asarray(geom.sin, jnp.float32)
     rowdrv = jnp.asarray(geom.row_driven)
     inv_row = sys.inv_row[0]  # (Na, Nt)
+    tj = jnp.arange(nt, dtype=jnp.float32) - (nt - 1) / 2.0
+    ctr = (n - 1) / 2.0
+    iota = jnp.arange(n, dtype=jnp.float32)
+    prec = tjconfig.mxu_precision
+
+    def one_branch(xT, ba, invr, invcT, cv, sv, row_driven):
+        """xT: (step, interp, Ns). Returns updated xT (same layout)."""
+        safe = jnp.where(row_driven, cv, sv)
+        safe = jnp.where(jnp.abs(safe) < 1e-8, 1.0, safe)
+        inv_d = 1.0 / safe
+        shear = jnp.where(row_driven, -sv, cv) * inv_d
+        scale = jnp.abs(inv_d)
+
+        def pos_at(m):
+            # m: (CH,) step indices -> (CH, Nt) detector-axis positions
+            coord = jnp.where(row_driven, ctr - m, m - ctr)
+            return jnp.where(
+                row_driven,
+                tj[None, :] * inv_d + coord[:, None] * shear + ctr,
+                ctr - tj[None, :] * inv_d + coord[:, None] * shear,
+            )
+
+        # Chunk the step axis so each scan iteration is ONE large MXU
+        # matmul [W_m0 .. W_mk] (Nt, CH*N) @ stacked-steps (CH*N, Ns)
+        # instead of CH tiny ones (the scan is latency-bound otherwise).
+        ch = 32
+        while n % ch:
+            ch //= 2
+        nch = n // ch
+        xc = xT.reshape(nch, ch, n, ns)
+        mc = iota.reshape(nch, ch)
+
+        def wmat(m):  # (CH,) -> (Nt, CH*N) hat weights
+            w = jnp.maximum(
+                0.0, 1.0 - jnp.abs(pos_at(m)[:, :, None] - iota[None, None, :])
+            )  # (CH, Nt, N)
+            return w.transpose(1, 0, 2).reshape(nt, ch * n)
+
+        def fp_body(acc, args):
+            img_k, m = args  # (CH, N, Ns), (CH,)
+            return acc + jax.lax.dot_general(
+                wmat(m), img_k.reshape(ch * n, ns),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ), None
+
+        proj, _ = jax.lax.scan(
+            fp_body, jnp.zeros((nt, ns), xT.dtype), (xc, mc)
+        )
+        resid = (ba - proj * scale) * invr[:, None]  # (Nt, Ns)
+
+        def bp_body(carry, m):
+            upd = jax.lax.dot_general(
+                wmat(m).T, resid, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            return carry, (upd * scale).reshape(ch, n, ns)
+
+        _, upd = jax.lax.scan(bp_body, None, mc)  # (nch, CH, N, Ns)
+        upd = upd.reshape(n, n, ns)
+        return jnp.maximum(xT + beta * invcT[..., None] * upd, 0.0)
 
     def body(xx, a):
-        c, s, rd = cosv[a], sinv[a], rowdrv[a]
-        proj = fp_single_angle(xx, c, s, rd, geom.nray)  # (Ns, Nt)
-        resid = (b[:, a, :] - proj) * inv_row[a][None, :]
-        upd = bp_single_angle(resid, c, s, geom.n) * inv_col_a[a][None]
-        xx = jnp.maximum(xx + beta * upd, 0.0)
+        cv, sv, rd = cosv[a], sinv[a], rowdrv[a]
+        ba = b[:, a, :].T  # (Nt, Ns)
+        invr = inv_row[a]
+        invc = inv_col_a[a]
+
+        def do_row(xx):
+            xT = xx.transpose(1, 2, 0)  # (r, c, Ns)
+            xT = one_branch(xT, ba, invr, invc, cv, sv, True)
+            return xT.transpose(2, 0, 1)
+
+        def do_col(xx):
+            xT = xx.transpose(2, 1, 0)  # (c, r, Ns)
+            xT = one_branch(xT, ba, invr, invc.T, cv, sv, False)
+            return xT.transpose(2, 1, 0)
+
+        xx = jax.lax.cond(rd, do_row, do_col, xx)
         return xx, None
 
     x, _ = jax.lax.scan(body, x, order)
