@@ -1,0 +1,62 @@
+"""Pallas FGP kernel tests (interpret mode on CPU): exact agreement with
+the XLA stencil implementation and with the numpy port of the reference
+CUDA loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tomojax import tv as tvmod
+from tomojax.tv.pallas_fgp import tv_fgp_pallas
+from tomojax import config as tjconfig
+
+
+def _vol(shape=(6, 16, 16), seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("iters", [1, 3, 7])
+def test_pallas_matches_xla(iters):
+    x = _vol()
+    ref, tv_ref = tvmod.tv_fgp(x, iters, 0.15)
+    got, tv_got = tv_fgp_pallas(x, iters, 0.15, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    assert float(tv_ref) == float(tv_got)
+
+
+def test_pallas_boundaries():
+    """Boundary planes (z=0 and z=nz-1) carry the zero-flux semantics."""
+    x = jnp.zeros((4, 8, 8), jnp.float32).at[0].set(1.0).at[-1].set(2.0)
+    ref, _ = tvmod.tv_fgp(x, 5, 0.1)
+    got, _ = tv_fgp_pallas(x, 5, 0.1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_tvgd_matches_xla():
+    from tomojax.tv.pallas_tvgd import tv_gd_pallas, tv_grad_pallas
+
+    x = _vol((6, 16, 16), 2)
+    g_ref = tvmod._tv_grad(x)
+    g_got = tv_grad_pallas(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-5)
+    for ng in (1, 5):
+        ref, tvr = tvmod.tv_gd(x, ng, 0.3)
+        got, tvg = tv_gd_pallas(x, ng, 0.3, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+        assert float(tvr) == float(tvg)
+
+
+def test_dispatch_respects_config():
+    x = _vol()
+    ref, _ = tvmod.tv_fgp(x, 2, 0.1)  # cpu backend -> auto == xla
+    tjconfig.set_tv_impl("xla")
+    try:
+        xla_out, _ = tvmod.tv_fgp(x, 2, 0.1)
+    finally:
+        tjconfig.set_tv_impl("auto")
+    np.testing.assert_allclose(np.asarray(xla_out), np.asarray(ref))
+    assert not tjconfig.use_pallas_tv()  # cpu in tests
+    with pytest.raises(AssertionError):
+        tjconfig.set_tv_impl("gpu-only")

@@ -158,8 +158,8 @@ def test_fista_tv(tilt_problem):
 
 
 def test_asd_pocs_loop(tilt_problem):
-    """Full host-side adaptation loop exactly as the reference's working
-    driver (cpu/sim_ASD.py:65-96)."""
+    """Host-side adaptation loop exactly as the reference's working driver
+    (cpu/sim_ASD.py:65-96), including the first-iteration dPOCS init."""
     geom, sysd, ph, b = tilt_problem
     p = AsdPocsParams(ng=5)
     w = make_sart_weights(sysd)
@@ -169,13 +169,44 @@ def test_asd_pocs_loop(tilt_problem):
     beta, dpocs = p.beta0, 0.0
     dds = []
     for i in range(15):
-        x, dp, dd, dg, tv0 = run(x, b, beta, dpocs, order)
+        x, dp, dd, dg, tv0, dpocs_eff = run(
+            x, b, beta, dpocs, order, first=(i == 0), alpha=p.alpha
+        )
         beta *= p.beta_red
-        dp, dd, dg = float(dp), float(dd), float(dg)
-        if i == 0:
-            dpocs = p.alpha * dp
+        dp, dd, dg, dpocs = float(dp), float(dd), float(dg), float(dpocs_eff)
         if dg > p.r_max * dp and dd > p.eps:
             dpocs *= p.alpha_red
         dds.append(dd)
     assert dds[-1] < dds[0]
     assert float(ops.rmse(x, ph)) < 0.15
+
+
+def test_asd_pocs_fused_scan_matches_host_loop(tilt_problem):
+    """The fully-jitted scan variant reproduces the host-loop trajectory."""
+    from tomojax.solvers.asd_pocs import make_asd_pocs_run
+
+    geom, sysd, ph, b = tilt_problem
+    p = AsdPocsParams(niter=8, ng=5)
+    w = make_sart_weights(sysd)
+    # host loop
+    run1 = make_asd_pocs_iteration(sysd, w, p.ng)
+    order = jnp.arange(geom.nproj, dtype=jnp.int32)
+    x1 = jnp.zeros_like(ph)
+    beta, dpocs = p.beta0, 0.0
+    dds1 = []
+    for i in range(p.niter):
+        x1, dp, dd, dg, tv0, dpocs_eff = run1(
+            x1, b, beta, dpocs, order, first=(i == 0), alpha=p.alpha
+        )
+        beta *= p.beta_red
+        dp, dd, dg, dpocs = float(dp), float(dd), float(dg), float(dpocs_eff)
+        if dg > p.r_max * dp and dd > p.eps:
+            dpocs *= p.alpha_red
+        dds1.append(dd)
+    # fused scan
+    run2 = make_asd_pocs_run(sysd, w, p)
+    x2, dd2, tv2 = run2(jnp.zeros_like(ph), b, jax.random.PRNGKey(0))
+    # host loop round-trips the adaptive scalars through python floats;
+    # the scan carries them in f32 — trajectories agree to that rounding
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dd2), np.asarray(dds1), rtol=1e-3)

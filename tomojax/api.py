@@ -236,6 +236,11 @@ class TomoTPU:
         self.restart_recon()
         if self._sart_w is None:
             self._sart_w = make_sart_weights(self.sys)
+        # Host-side adaptation loop (like the reference driver). The fully
+        # fused scan variant (solvers.make_asd_pocs_run) is numerically
+        # equivalent but its nested-control-flow program compiles very
+        # slowly on some backends; the per-iteration host syncs here cost
+        # microseconds on a directly-attached TPU.
         run = make_asd_pocs_iteration(self.sys, self._sart_w, nTViter)
         seq = jnp.arange(self.geom.nproj, dtype=jnp.int32)
         beta, dpocs = beta0, 0.0
@@ -246,12 +251,13 @@ class TomoTPU:
             if init == "random":
                 self._order_key, sub = jax.random.split(self._order_key)
                 order = jax.random.permutation(sub, self.geom.nproj).astype(jnp.int32)
-            self.x, dp, dd, dg, tv0 = run(self.x, self.b, beta, dpocs, order)
+            self.x, dp, dd, dg, tv0, dpocs_eff = run(
+                self.x, self.b, beta, dpocs, order, i == 0, alpha
+            )
             beta *= beta_reduce
             dp, dd, dg = float(dp), float(dd), float(dg)
+            dpocs = float(dpocs_eff)
             self.dd_vec[i], self.tv_vec[i] = dd, float(tv0)
-            if i == 0:
-                dpocs = alpha * dp
             if dg > r_max * dp and dd > eps:
                 dpocs *= alpha_reduce
         self.cost = self.dd_vec

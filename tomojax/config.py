@@ -24,6 +24,11 @@ import jax
 projector_mode: str = "mxu"
 mxu_precision = jax.lax.Precision.HIGH
 
+# tv_impl: 'auto' uses the fused Pallas FGP kernels on a single-device
+# non-CPU backend (1.9x at 256^3) and the XLA stencils otherwise (CPU,
+# multi-device meshes — where the rolls must lower to halo collectives).
+tv_impl: str = "auto"
+
 
 def set_projector_mode(mode: str, precision=None):
     global projector_mode, mxu_precision
@@ -31,3 +36,17 @@ def set_projector_mode(mode: str, precision=None):
     projector_mode = mode
     if precision is not None:
         mxu_precision = precision
+
+
+def set_tv_impl(impl: str):
+    global tv_impl
+    assert impl in ("auto", "xla", "pallas"), impl
+    tv_impl = impl
+
+
+def use_pallas_tv() -> bool:
+    if tv_impl == "xla":
+        return False
+    if tv_impl == "pallas":
+        return True
+    return jax.default_backend() != "cpu" and jax.device_count() == 1

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def positivity(x):
@@ -77,8 +78,22 @@ def poisson_noise(key, b, n_counts: int):
 
     Functional version of reference tomoengine.cpp:471-484: scale so the
     mean *total* is `n_counts * size / sum`, draw Poisson, scale back.
+
+    Sampling happens on the HOST (native OpenMP C++ when available, numpy
+    otherwise) like the reference's std::poisson_distribution loop:
+    `jax.random.poisson` at high count levels is a rejection sampler that
+    took minutes on the remote TPU backend for 256-class sinograms.
     """
-    total = jnp.sum(b)
-    scaled = b / total * (n_counts * b.size)
-    noisy = jax.random.poisson(key, scaled).astype(b.dtype)
-    return noisy / (n_counts * b.size) * total
+    b_host = np.asarray(b)
+    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+    try:
+        from tomojax import native
+
+        noisy = np.ascontiguousarray(b_host, np.float32)
+        native.lib().poisson_noise(noisy, noisy.size, int(n_counts), seed)
+    except Exception:
+        total = float(b_host.sum())
+        scale = n_counts * b_host.size / total
+        rng = np.random.default_rng(seed)
+        noisy = (rng.poisson(b_host * scale) / scale).astype(b_host.dtype)
+    return jnp.asarray(noisy, jnp.float32)

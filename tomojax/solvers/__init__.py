@@ -16,7 +16,11 @@ from tomojax.solvers.iterative import (
 )
 from tomojax.solvers.wbp import fbp
 from tomojax.solvers.fista import FistaState, fista_init, fista_step
-from tomojax.solvers.asd_pocs import AsdPocsParams, make_asd_pocs_iteration
+from tomojax.solvers.asd_pocs import (
+    AsdPocsParams,
+    make_asd_pocs_iteration,
+    make_asd_pocs_run,
+)
 
 __all__ = [
     "System",
@@ -34,4 +38,5 @@ __all__ = [
     "fista_step",
     "AsdPocsParams",
     "make_asd_pocs_iteration",
+    "make_asd_pocs_run",
 ]

@@ -84,7 +84,16 @@ def tv_gd(x, ng: int, dpocs, axis_norm=None):
     Returns (x_new, tv_of_input). `axis_norm` selects the axes over which
     the gradient norm is reduced; None = all axes (matches single-process
     reference; per-element 4D passes the last three).
+
+    Dispatches to the fused Pallas gradient kernel on a single-device TPU
+    backend (tomojax.config.tv_impl); identical output.
     """
+    from tomojax import config as tjconfig
+
+    if x.ndim == 3 and axis_norm is None and tjconfig.use_pallas_tv():
+        from tomojax.tv.pallas_tvgd import tv_gd_pallas
+
+        return tv_gd_pallas(x, ng, dpocs)
     tv0 = tv(x)
 
     def body(_, xx):
@@ -135,7 +144,16 @@ def tv_fgp(x, n_iter: int, lam):
 
     Returns (denoised, tv_of_input). See module docstring for the
     deliberate quirks (1/(26 lam) dual step, no momentum, nonneg clamp).
+
+    Dispatches to the fused Pallas kernels (tv/pallas_fgp.py) on a
+    single-device TPU backend (tomojax.config.tv_impl); identical output.
     """
+    from tomojax import config as tjconfig
+
+    if x.ndim == 3 and tjconfig.use_pallas_tv():
+        from tomojax.tv.pallas_fgp import tv_fgp_pallas
+
+        return tv_fgp_pallas(x, n_iter, lam)
     a = x.ndim
     ax = (a - 3, a - 2, a - 1)
     tv0 = tv(x)

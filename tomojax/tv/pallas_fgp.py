@@ -1,0 +1,129 @@
+"""Pallas TPU kernels for the FGP TV prox (reference-faithful semantics).
+
+The XLA stencil formulation of one FGP iteration (tv/__init__.py) moves
+~2.6 GB of HBM traffic per iteration at 256^3 because every difference
+field and the dual updates materialize. These kernels fuse each iteration
+into two plane-wise passes:
+
+  * obj kernel  : d = max(x - lam * div(P), 0)         (one output plane)
+  * grad kernel : P += (1/(26 lam)) grad(d); project   (three planes)
+
+Each grid program owns one z-plane; the z-neighbor planes arrive through
+*shifted BlockSpec index maps* (program i additionally receives plane
+i-1 of p1 / plane i+1 of d), so no manual DMA is needed. Boundary
+conditions match tv_fgp.cu exactly: zero divergence contribution below
+the low boundary, zero forward-difference at the far boundary, nonneg
+clamp, isotropic dual-ball projection.
+
+Used automatically on TPU backends via tv_fgp dispatch
+(tomojax.config.tv_impl); falls back to the XLA stencils on CPU and for
+sharded volumes (the kernel assumes the full z-extent is local — the
+sharded path keeps the XLA formulation whose rolls become halo
+collectives).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _obj_kernel(lam, x_ref, p1_ref, p1m_ref, p2_ref, p3_ref, d_ref):
+    i = pl.program_id(0)
+    p1 = p1_ref[0]
+    p2 = p2_ref[0]
+    p3 = p3_ref[0]
+    n_r, n_c = p2.shape
+    # z: p1[i] - p1[i-1] (zero below the low boundary)
+    prev = jnp.where(i == 0, jnp.zeros_like(p1), p1m_ref[0])
+    div = p1 - prev
+    # y: p2 - p2 shifted down one row
+    div += p2 - jnp.concatenate(
+        [jnp.zeros((1, n_c), p2.dtype), p2[:-1, :]], axis=0
+    )
+    # x: p3 - p3 shifted right one column
+    div += p3 - jnp.concatenate(
+        [jnp.zeros((n_r, 1), p3.dtype), p3[:, :-1]], axis=1
+    )
+    d_ref[0] = jnp.maximum(x_ref[0] - lam * div, 0.0)
+
+
+def _grad_kernel(multip, d_ref, dn_ref, p1_ref, p2_ref, p3_ref,
+                 o1_ref, o2_ref, o3_ref):
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    d = d_ref[0]
+    n_r, n_c = d.shape
+    # z forward difference, zero at the far boundary
+    g1 = jnp.where(i == nz - 1, jnp.zeros_like(d), d - dn_ref[0])
+    # y forward difference
+    g2 = jnp.concatenate(
+        [d[:-1, :] - d[1:, :], jnp.zeros((1, n_c), d.dtype)], axis=0
+    )
+    # x forward difference
+    g3 = jnp.concatenate(
+        [d[:, :-1] - d[:, 1:], jnp.zeros((n_r, 1), d.dtype)], axis=1
+    )
+    p1 = p1_ref[0] + multip * g1
+    p2 = p2_ref[0] + multip * g2
+    p3 = p3_ref[0] + multip * g3
+    denom = p1 * p1 + p2 * p2 + p3 * p3
+    scale = jnp.where(denom > 1.0, jax.lax.rsqrt(denom), 1.0)
+    o1_ref[0] = p1 * scale
+    o2_ref[0] = p2 * scale
+    o3_ref[0] = p3 * scale
+
+
+def tv_fgp_pallas(x, n_iter: int, lam, interpret: bool = False):
+    """Reference-faithful FGP via fused Pallas kernels.
+
+    x: (nz, ny, nx). Returns (denoised, tv_of_input). Matches
+    tomojax.tv.tv_fgp bit-for-bit up to f32 rounding."""
+    from tomojax import tv as tvmod
+
+    nz, ny, nx = x.shape
+    tv0 = tvmod.tv(x)
+    lam = float(lam)
+    multip = 1.0 / (26.0 * lam)
+    spec = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0))
+    spec_prev = pl.BlockSpec(
+        (1, ny, nx), lambda i: (jnp.maximum(i - 1, 0), 0, 0)
+    )
+    spec_next = pl.BlockSpec(
+        (1, ny, nx), lambda i: (jnp.minimum(i + 1, nz - 1), 0, 0)
+    )
+    shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    obj = pl.pallas_call(
+        partial(_obj_kernel, lam),
+        grid=(nz,),
+        in_specs=[spec, spec, spec_prev, spec, spec],
+        out_specs=spec,
+        out_shape=shape,
+        interpret=interpret,
+    )
+    grad = pl.pallas_call(
+        partial(_grad_kernel, multip),
+        grid=(nz,),
+        in_specs=[spec, spec_next, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )
+
+    def body(_, carry):
+        d, p1, p2, p3 = carry
+        d = obj(x, p1, p1, p2, p3)
+        p1, p2, p3 = grad(d, d, p1, p2, p3)
+        return d, p1, p2, p3
+
+    z = jnp.zeros_like(x)
+    d, p1, p2, p3 = jax.lax.fori_loop(0, n_iter, body, (z, z, z, z))
+    # d is the output of the last iteration's Obj+clamp pass, which is what
+    # the reference returns (tv_fgp.cu:272 — the trailing grad/projection
+    # only modifies P).
+    return d, tv0
