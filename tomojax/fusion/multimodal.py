@@ -21,8 +21,6 @@ Math preserved (SURVEY.md §2.4 "data fusion" row):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,10 +9,6 @@ scripts written against the reference port mechanically.
 
 from __future__ import annotations
 
-from typing import Optional
-
-import numpy as np
-
 from tomojax.projector.filters import FILTERS
 from tomojax import io as _io
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from tomojax import config as tjconfig
 from tomojax.projector.joseph import fp, bp
-from tomojax.solvers.base import System, fp_single_angle, bp_single_angle
+from tomojax.solvers.base import System, bp_single_angle
 
 POISSON_EPS = 0.1  # tomoengine.cpp:295
 

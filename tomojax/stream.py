@@ -158,6 +158,43 @@ class TiltWatcher:
         return len(self.poll()) > 0
 
 
+def poll_multihost(watcher: "TiltWatcher"):
+    """Multi-host polling: process 0 watches the directory (it is the one
+    with filesystem/SFTP access) and broadcasts new projections to every
+    host — the reference's rank-0 monitoring + `comm.bcast` pattern
+    (cpu/utils/mpi_logger.py:176-180, 247-251).
+
+    Single-process: plain `watcher.poll()`. Multi-process: all processes
+    must call this collectively."""
+    import jax
+
+    if jax.process_count() == 1:
+        return watcher.poll()
+
+    from jax.experimental import multihost_utils
+    import numpy as np_
+
+    new = watcher.poll() if jax.process_index() == 0 else []
+    count = int(
+        multihost_utils.broadcast_one_to_all(np_.int32(len(new)))
+    )
+    if count == 0:
+        return []
+    if jax.process_index() == 0:
+        angles = np_.asarray([a for a, _ in new], np_.float64)
+        imgs = np_.stack([im for _, im in new]).astype(np_.float32)
+        shape = np_.asarray(imgs.shape[1:], np_.int64)
+    else:
+        shape = np_.zeros(2, np_.int64)
+    shape = multihost_utils.broadcast_one_to_all(shape)
+    if jax.process_index() != 0:
+        angles = np_.zeros(count, np_.float64)
+        imgs = np_.zeros((count, int(shape[0]), int(shape[1])), np_.float32)
+    angles = np_.asarray(multihost_utils.broadcast_one_to_all(angles))
+    imgs = np_.asarray(multihost_utils.broadcast_one_to_all(imgs))
+    return [(float(a), imgs[i]) for i, a in enumerate(angles)]
+
+
 class DynamicReconstructor:
     """Streaming reconstruction driver (cpu/dynamicTomo.py:66-104).
 

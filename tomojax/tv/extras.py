@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from tomojax.tv import _fdiff, _bdiff_accum
-from tomojax import ops
 
 
 def _grad3(x, ax):

@@ -29,7 +29,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _obj_kernel(lam, x_ref, p1_ref, p1m_ref, p2_ref, p3_ref, d_ref):
