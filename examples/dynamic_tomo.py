@@ -30,7 +30,9 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(args.dir, exist_ok=True)
-    os.makedirs(os.path.dirname(args.ckpt), exist_ok=True)
+    ckpt_dir = os.path.dirname(args.ckpt)
+    if ckpt_dir:
+        os.makedirs(ckpt_dir, exist_ok=True)
 
     angles = np.linspace(-76, 76, args.nproj)
     vol = None

@@ -1,0 +1,112 @@
+"""Example-script smoke tests: every driver recipe runs end-to-end as a
+CLI at small scale (the reference's driver scripts are its only 'apps';
+several shipped broken — SURVEY.md §2.5 — so ours are executed in CI)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd, timeout=300):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    # sitecustomize may override JAX_PLATFORMS; examples call jax normally,
+    # so also blank the axon hook path when present.
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert r.returncode == 0, f"{args}\nSTDOUT:{r.stdout[-800:]}\nSTDERR:{r.stderr[-800:]}"
+    return r.stdout
+
+
+def test_sim_tomo(tmp_path):
+    out = _run(
+        [f"{REPO}/examples/sim_tomo.py", "--nslice", "2", "--n", "32",
+         "--nproj", "15", "--alg", "sirt", "--niter", "10", "--save"],
+        cwd=str(tmp_path),
+    )
+    assert "RMSE" in out
+    assert (tmp_path / "results/sim_tomo/sirt.h5").exists()
+
+
+def test_sim_asd(tmp_path):
+    out = _run(
+        [f"{REPO}/examples/sim_ASD.py", "--nslice", "2", "--n", "32",
+         "--nproj", "11", "--niter", "5", "--snr", "0"],
+        cwd=str(tmp_path),
+    )
+    assert "ASD-POCS" in out
+
+
+def test_exp_tomo_roundtrip(tmp_path):
+    # build a tiny reference-layout tilt-series h5, then reconstruct
+    import h5py
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REPO)
+    from tomojax.geometry import Geometry
+    from tomojax.projector.joseph import fp
+    from tomojax.sim import shepp_logan
+
+    n = 32
+    angles = np.linspace(-60, 60, 13)
+    geom = Geometry.make(n, np.deg2rad(angles))
+    ph = np.stack([shepp_logan(n)] * 2)
+    b = np.asarray(fp(jnp.asarray(ph), geom))
+    with h5py.File(tmp_path / "ts.h5", "w") as f:
+        f["tiltSeries"] = np.transpose(b, (0, 2, 1))
+        f["tiltAngles"] = angles
+    out = _run(
+        [f"{REPO}/examples/exp_tomo.py", str(tmp_path / "ts.h5"),
+         "--alg", "sirt", "--niter", "8",
+         "--out", str(tmp_path / "recon.h5")],
+        cwd=str(tmp_path),
+    )
+    assert (tmp_path / "recon.h5").exists()
+    from tomojax import io
+
+    recon, results, params = io.load_results(str(tmp_path / "recon.h5"))
+    assert recon.shape == (2, n, n)
+    assert params["alg"] == "sirt"
+
+
+def test_dynamic_tomo(tmp_path):
+    out = _run(
+        [f"{REPO}/examples/dynamic_tomo.py", "--dir", str(tmp_path / "s"),
+         "--nslice", "2", "--n", "32", "--nproj", "8", "--batch", "4",
+         "--iters-per-round", "5", "--ckpt", str(tmp_path / "c.h5")],
+        cwd=str(tmp_path),
+    )
+    assert "final RMSE" in out
+    assert (tmp_path / "c.h5").exists()
+
+
+def test_fusion_demo(tmp_path):
+    out = _run(
+        [f"{REPO}/examples/fusion_demo.py", "--nslice", "2", "--n", "32",
+         "--niter", "5", "--normalize-haadf"],
+        cwd=str(tmp_path), timeout=420,
+    )
+    assert "fused NRMSE" in out
+
+
+def test_plot_results(tmp_path):
+    sys.path.insert(0, REPO)
+    from tomojax import io
+
+    p = tmp_path / "r.h5"
+    io.save_results(
+        str(p), {"alg": "x"}, {"dd": np.arange(5, dtype=np.float32)},
+        np.ones((2, 8, 8), np.float32),
+    )
+    _run([f"{REPO}/examples/plot_results.py", str(p)], cwd=str(tmp_path))
+    assert (tmp_path / "r_dd.png").exists()
+    assert (tmp_path / "r_slices.png").exists()

@@ -347,6 +347,8 @@ class DynamicReconstructor:
         return dd
 
     def checkpoint(self):
+        if self.x is None:
+            return  # nothing reconstructed yet (first acquisition batch)
         if self.checkpoint_path:
             tio.save_checkpoint(
                 self.checkpoint_path,
