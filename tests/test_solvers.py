@@ -64,6 +64,39 @@ def test_sirt_converges(problem):
     assert float(jnp.min(x)) >= 0.0
 
 
+def test_sirt_variants(problem):
+    """Landweber and Cimmino weightings (reference CPU SIRT styles,
+    ctvlib.cpp:205-251) converge; row-norm weights match a dense check."""
+    from tomojax.solvers.base import row_norms_sq
+    from tomojax.projector.joseph import fp as _fp
+
+    geom, sysd, ph, b = problem
+    from tomojax.projector.joseph import bp as _bp
+
+    rn = row_norms_sq(geom)
+    # check ||a_r||^2 on a few rays: the operator row a_r is the exact
+    # backprojection of a delta sinogram (gather mode = exact transpose)
+    n = geom.n
+    for a, j in [(0, n // 2), (len(geom.angles) // 2, 3)]:
+        e = np.zeros((1, geom.nproj, geom.nray), np.float32)
+        e[0, a, j] = 1.0
+        row_img = np.asarray(_bp(jnp.asarray(e), geom, "gather"))
+        assert np.isclose(
+            float(rn[0, a, j]), float((row_img**2).sum()), rtol=1e-3
+        ), (a, j)
+
+    x_lw = sirt_sweep(jnp.zeros_like(ph), b, sysd, 40, variant="landweber")
+    assert float(ops.rmse(jnp.maximum(x_lw, 0), ph)) < 0.15
+    x_ci = sirt_sweep(
+        jnp.zeros_like(ph), b, sysd, 40, variant="cimmino",
+        beta=float(geom.nproj * geom.nray) / float(sysd.lipschitz) * 2.0,
+        row_nsq=rn,
+    )
+    assert float(ops.rmse(jnp.maximum(x_ci, 0), ph)) < 0.3
+    with pytest.raises(ValueError):
+        sirt_sweep(jnp.zeros_like(ph), b, sysd, 1, variant="bogus")
+
+
 def test_fbp_quality(problem):
     geom, sysd, ph, b = problem
     x = fbp(b, geom, "ram-lak")

@@ -21,6 +21,30 @@ from tomojax.geometry import Geometry
 __version__ = "0.1.0"
 
 
+def enable_compilation_cache(directory: str | None = None) -> None:
+    """Persistent XLA compilation cache (big win on backends with slow
+    compile services). Called on import; TOMOJAX_NO_CACHE=1 disables."""
+    import os
+
+    import jax
+
+    if os.environ.get("TOMOJAX_NO_CACHE") == "1":
+        return
+    directory = directory or os.environ.get(
+        "TOMOJAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "tomojax-jax"),
+    )
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", directory)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover — config name drift across versions
+        pass
+
+
+enable_compilation_cache()
+
+
 def __getattr__(name):
     # Lazy to keep `import tomojax` light and avoid cycles during buildout.
     if name in ("TomoTPU", "ChemicalTomo"):

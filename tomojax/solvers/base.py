@@ -71,6 +71,39 @@ def make_system(geom: Geometry) -> System:
     return System(geom, row, col, lip)
 
 
+def row_norms_sq(geom: Geometry) -> jnp.ndarray:
+    """Per-ray squared operator-row norms ||a_r||^2 = sum of squared
+    Joseph weights — the Cimmino weighting matrix M = diag(1/||a_r||^2)
+    (reference ctvlib.cpp cimminos_method / row_inner_product).
+
+    Computed analytically from the interpolation weights (no image data):
+    for each angle/detector, sum (w0^2 + w1^2) * scale^2 over the steps.
+    Returns (1, Na, Nt)."""
+    n, nt = geom.n, geom.nray
+    out = np.zeros((geom.nproj, nt), np.float32)
+    tj = np.arange(nt) - (nt - 1) / 2.0
+    ctr = (n - 1) / 2.0
+    steps = np.arange(n, dtype=np.float64)
+    for a in range(geom.nproj):
+        c, s = geom.cos[a], geom.sin[a]
+        if geom.row_driven[a]:
+            denom, shear = c, -s / c
+            coord = ctr - steps
+            pos = tj[:, None] / denom + coord[None, :] * shear + ctr
+        else:
+            denom, shear = s, c / s
+            coord = steps - ctr
+            pos = ctr - tj[:, None] / denom + coord[None, :] * shear
+        f = np.floor(pos)
+        frac = pos - f
+        i0 = f.astype(np.int64)
+        i1 = i0 + 1
+        w0 = np.where((i0 >= 0) & (i0 < n), 1.0 - frac, 0.0)
+        w1 = np.where((i1 >= 0) & (i1 < n), frac, 0.0)
+        out[a] = ((w0**2 + w1**2).sum(1) / denom**2).astype(np.float32)
+    return jnp.asarray(out[None])
+
+
 def fp_single_angle(x, cosv, sinv, row_driven, nray: int):
     """Forward-project ONE angle whose trig values are traced (for SART's
     sequential angle sweep, where the driving-axis branch is data-dependent).

@@ -35,14 +35,51 @@ POISSON_EPS = 0.1  # tomoengine.cpp:295
 # ----------------------------------------------------------------- SIRT ---
 
 
-def sirt_sweep(x, b, sys: System, n_iter: int = 1):
-    """`n_iter` SIRT iterations. x: (Ns, N, N); b: (Ns, Na, Nt)."""
-    inv_r, inv_c = sys.inv_row, sys.inv_col
+def sirt_sweep(x, b, sys: System, n_iter: int = 1, variant: str = "astra",
+               beta=None, row_nsq=None, nonneg: bool | None = None):
+    """`n_iter` SIRT iterations. x: (Ns, N, N); b: (Ns, Na, Nt).
+
+    variant:
+      'astra'     — x += C A^T R (b - Ax), R/C = inverse row/col sums,
+                    nonneg clamp per iteration (ASTRA semantics as
+                    configured by the reference, tomoengine.cpp:181-205).
+      'landweber' — x += beta A^T (b - Ax), beta defaults to 1/L
+                    (reference ctvlib.cpp:205-221 SIRT).
+      'cimmino'   — x += (beta/Nrow) A^T M (b - Ax), M = 1/||a_r||^2
+                    (ctvlib.cpp:245-251; pass row_nsq from
+                    solvers.base.row_norms_sq, beta defaults 1).
+    nonneg: clamp each iteration; defaults True for 'astra' (ASTRA's
+    min-constraint), False otherwise (the reference CPU variants leave
+    positivity to the caller)."""
+    geom = sys.geom
+    if nonneg is None:
+        nonneg = variant == "astra"
+    if variant == "astra":
+        inv_r, inv_c = sys.inv_row, sys.inv_col
+
+        def update(xx):
+            resid = (b - fp(xx, geom)) * inv_r
+            return xx + inv_c * bp(resid, geom)
+    elif variant == "landweber":
+        lw_beta = (1.0 / sys.lipschitz) if beta is None else beta
+
+        def update(xx):
+            return xx + lw_beta * bp(b - fp(xx, geom), geom)
+    elif variant == "cimmino":
+        assert row_nsq is not None, "pass row_nsq=base.row_norms_sq(geom)"
+        m = jnp.where(row_nsq > 1e-12, 1.0 / jnp.maximum(row_nsq, 1e-12), 0.0)
+        nrow = geom.nproj * geom.nray
+        ci_beta = 1.0 if beta is None else beta
+
+        def update(xx):
+            resid = m * (b - fp(xx, geom))
+            return xx + (ci_beta / nrow) * bp(resid, geom)
+    else:
+        raise ValueError(f"unknown SIRT variant {variant!r}")
 
     def body(_, xx):
-        resid = (b - fp(xx, sys.geom)) * inv_r
-        xx = xx + inv_c * bp(resid, sys.geom)
-        return jnp.maximum(xx, 0.0)
+        xx = update(xx)
+        return jnp.maximum(xx, 0.0) if nonneg else xx
 
     return jax.lax.fori_loop(0, n_iter, body, x)
 
