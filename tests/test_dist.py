@@ -145,6 +145,39 @@ def test_sharded_fusion_4d(mesh):
     np.testing.assert_allclose(np.asarray(got_tv), np.asarray(ref_tv), atol=1e-5)
 
 
+def test_chemical_tomo_mesh_uneven(mesh):
+    """ChemicalTomo on a mesh with a slice count NOT divisible by the mesh
+    (regression: the mesh path lacked the pad_slices step)."""
+    from tomojax import ChemicalTomo
+    from tomojax.fusion import (
+        make_fusion_system, weights_for_elements, fp4d, model_haadf,
+    )
+    from tomojax.projector.joseph import fp as _fp
+
+    n, ns = 24, 6  # 6 slices over 8 devices -> padding required
+    rng = np.random.default_rng(5)
+    gt = jnp.asarray(rng.uniform(0, 1, (2, ns, n, n)), jnp.float32)
+    w = weights_for_elements(["c", "zn"], 1.6, 3)
+    fsys = make_fusion_system(
+        n, np.deg2rad(np.linspace(-70, 70, 10)),
+        np.deg2rad(np.linspace(-60, 60, 5)), w, 1.6,
+    )
+    b_chem = np.asarray(fp4d(gt, fsys.chem))
+    b_h = np.asarray(_fp(model_haadf(gt, fsys), fsys.haadf.geom))
+    ct = ChemicalTomo(
+        np.transpose(b_h, (0, 2, 1)), np.linspace(-70, 70, 10),
+        {"C": np.transpose(b_chem[0], (0, 2, 1)),
+         "Zn": np.transpose(b_chem[1], (0, 2, 1))},
+        np.linspace(-60, 60, 5), mesh=mesh,
+    )
+    ct.chemical_tomography(Niter=5, lambdaCHEM=0.2, show_convergence=False)
+    rec = ct.get_recon()
+    assert rec.shape == (2, ns, n, n)  # unpadded on the way out
+    assert np.isfinite(rec).all()
+    per = ct.rmse_per_element(np.zeros((2, ns, n, n), np.float32))
+    assert per.shape == (2,)
+
+
 def test_uneven_slab_split(mesh):
     """Ns not divisible by n_devices: pad_slices makes it shardable and
     results match the unsharded run on the same padded volume (the

@@ -54,6 +54,16 @@ def test_pytvlib_dispatch():
     pytvlib.initialize_algorithm(tomo, "FBP", "hamming")
     pytvlib.run(tomo, "FBP")
 
+    # every alias the table accepts must be runnable
+    pytvlib.initialize_algorithm(tomo, "cimminoSIRT")
+    pytvlib.run(tomo, "cimminoSIRT", niter=2)
+    pytvlib.initialize_algorithm(tomo, "ART")
+    pytvlib.run(tomo, "ART", beta=0.5, niter=1)
+    pytvlib.initialize_algorithm(tomo, "randART")
+    pytvlib.run(tomo, "randART", beta=0.5, niter=1)
+    pytvlib.initialize_algorithm(tomo, "asd-pocs")
+    pytvlib.run(tomo, "asd-pocs", beta=0.25, niter=2)
+
     with pytest.raises(ValueError):
         pytvlib.initialize_algorithm(tomo, "quantum-annealing")
 

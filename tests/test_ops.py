@@ -51,3 +51,17 @@ def test_poisson_noise_preserves_scale():
     # mean preserved within sampling error; variance nonzero
     assert abs(float(jnp.mean(noisy)) - 5.0) < 0.1
     assert float(jnp.std(noisy)) > 0.05
+
+
+def test_poisson_noise_does_not_mutate_input():
+    """The native sampler writes in place — the public op must copy
+    (regression: np.ascontiguousarray returned the caller's buffer)."""
+    key = jax.random.PRNGKey(1)
+    b_jax = jnp.full((3, 8, 8), 10.0)
+    before = np.asarray(b_jax).copy()
+    _ = ops.poisson_noise(key, b_jax, 50)
+    np.testing.assert_array_equal(np.asarray(b_jax), before)
+    b_np = np.full((3, 8, 8), 10.0, np.float32)
+    before_np = b_np.copy()
+    _ = ops.poisson_noise(key, b_np, 50)
+    np.testing.assert_array_equal(b_np, before_np)

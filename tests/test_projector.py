@@ -15,7 +15,7 @@ from functools import partial
 from tomojax.geometry import Geometry
 from tomojax.projector.joseph import fp, bp, fp_adjointable
 from tomojax.projector.oracle import ray_matrix, fp_oracle
-from tomojax.solvers.base import fp_single_angle, bp_single_angle
+from tomojax.solvers.base import bp_single_angle
 
 
 def _smooth_phantom(n, ns=2):
@@ -109,20 +109,6 @@ def test_single_angle_consistency():
     n = 16
     angles = np.deg2rad([-60.0, 10.0, 45.0, 100.0])
     geom = Geometry.make(n, angles)
-    x = jnp.asarray(_smooth_phantom(n))
-    p_full = np.asarray(fp(x, geom, "gather"))
-    for a in range(len(angles)):
-        p1 = np.asarray(
-            fp_single_angle(
-                x,
-                jnp.float32(geom.cos[a]),
-                jnp.float32(geom.sin[a]),
-                bool(geom.row_driven[a]),
-                geom.nray,
-            )
-        )
-        np.testing.assert_allclose(p1, p_full[:, a, :], rtol=0, atol=2e-5)
-
     rng = np.random.default_rng(1)
     y = rng.standard_normal((2, len(angles), n)).astype(np.float32)
     b_full = np.asarray(bp(jnp.asarray(y), geom, "gather"))

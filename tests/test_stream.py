@@ -96,6 +96,54 @@ def test_watcher_and_dynamic_recon(tmp_path):
     assert len(rec2.dd_history) > 0
 
 
+def test_overshoot_max_angles(tmp_path):
+    """More projections than max_angles must grow the operator, not crash
+    (acquisitions can overshoot the estimate)."""
+    angles = np.linspace(-50, 50, 12)
+    geom = Geometry.make(N, np.deg2rad(angles))
+    ph = np.stack([shepp_logan(N)] * NS)
+    b = np.asarray(fp(jnp.asarray(ph), geom))
+    rec = DynamicReconstructor(nray=N, max_angles=8, angle_bucket=4)
+    rec.add_projections([(a, b[:, i, :]) for i, a in enumerate(angles)])
+    dd = rec.iterate(5)
+    assert np.isfinite(dd)
+    assert rec.x.shape == (NS, N, N)
+
+
+def test_run_loop_cs_alg(tmp_path):
+    """run() dispatches to the CS (TV-regularized) rounds when alg='cs'."""
+    angles = np.linspace(-50, 50, 8)
+    geom = Geometry.make(N, np.deg2rad(angles))
+    ph = np.stack([shepp_logan(N)] * NS)
+    b = np.asarray(fp(jnp.asarray(ph), geom))
+    datadir = tmp_path / "cs"
+    datadir.mkdir()
+    for i, a in enumerate(angles):
+        np.save(str(datadir / f"proj_{a:.1f}.npy"), b[:, i, :])
+    watcher = TiltWatcher(str(datadir), preprocess=False)
+    rec = DynamicReconstructor(nray=N, max_angles=8, angle_bucket=4, alg="cs")
+    x = rec.run(watcher, iters_per_round=5, expected_angles=8)
+    assert rec._dpocs > 0  # CS path ran (dPOCS was adapted)
+    assert rec.dd_history[-1] < rec.dd_history[0] * 2
+
+
+def test_watcher_log_appends(tmp_path):
+    import h5py
+
+    datadir = tmp_path / "log"
+    datadir.mkdir()
+    log = tmp_path / "log.h5"
+    w = TiltWatcher(str(datadir), preprocess=False, log_path=str(log))
+    np.save(str(datadir / "proj_1.0.npy"), np.ones((2, N), np.float32))
+    w.poll()
+    np.save(str(datadir / "proj_2.0.npy"), 2 * np.ones((2, N), np.float32))
+    w.poll()
+    with h5py.File(log, "r") as f:
+        np.testing.assert_allclose(f["tiltAngles"][:], [1.0, 2.0])
+        assert f["projections"].shape == (2, 2, N)
+        assert f["projections"][1].max() == 2.0
+
+
 def test_run_loop(tmp_path):
     angles = np.linspace(-50, 50, 8)
     geom = Geometry.make(N, np.deg2rad(angles))

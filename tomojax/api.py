@@ -123,10 +123,45 @@ class TomoTPU:
         self.recon = None
         return self
 
-    def sirt(self, Niter: int = 150, show_convergence: bool = True):
+    def sirt(self, Niter: int = 150, show_convergence: bool = True,
+             variant: str = "astra"):
+        """SIRT; variant selects the weighting style ('astra' default,
+        'landweber', 'cimmino' — see solvers.iterative.sirt_sweep)."""
         self.restart_recon()
-        step = jax.jit(lambda x, b: sirt_sweep(x, b, self.sys, 1))
+        kw = {}
+        if variant == "cimmino":
+            from tomojax.solvers.base import row_norms_sq
+
+            kw["row_nsq"] = row_norms_sq(self.geom)
+        step = jax.jit(
+            lambda x, b: sirt_sweep(x, b, self.sys, 1, variant=variant, **kw)
+        )
         self._run_iterative(step, Niter, show_convergence)
+        return self
+
+    def art(self, Niter: int = 1, beta: float = 1.0,
+            random_order: bool = False, show_convergence: bool = True):
+        """Row-action Kaczmarz ART / randART sweeps (reference CPU engine
+        feature, ctvlib.cpp:137-191; slow by construction — sequential
+        over rays)."""
+        from tomojax.solvers import art_sweep
+
+        self.restart_recon()
+        na, nt = self.geom.nproj, self.geom.nray
+        self.cost = np.zeros(Niter, np.float32)
+        ddj = jax.jit(lambda x, b: ops.data_distance(fp(x, self.geom), b))
+        step = jax.jit(
+            lambda x, b, order: art_sweep(x, b, self.sys, beta, order)
+        )
+        for i in range(Niter):
+            order = jnp.arange(na * nt, dtype=jnp.int32)
+            if random_order:
+                self._order_key, sub = jax.random.split(self._order_key)
+                order = jax.random.permutation(sub, na * nt).astype(jnp.int32)
+            self.x = step(self.x, self.b, order)
+            if show_convergence:
+                self.cost[i] = float(ddj(self.x, self.b))
+        self.recon = None
         return self
 
     def sart(
@@ -381,7 +416,18 @@ class ChemicalTomo:
             w,
             gamma,
         )
-        self.x = jnp.zeros((self.nel, self.nx, self.ny, self.ny), jnp.float32)
+        self._ns_orig = self.nx
+        if mesh is not None:
+            # pad the slice axis to the mesh size like TomoTPU does (jit
+            # requires the sharded dimension to divide evenly)
+            self.b_haadf, self._ns_orig = dist.pad_slices(self.b_haadf, mesh)
+            self.b_chem, _ = dist.pad_slices(self.b_chem, mesh, axis=1)
+            self.nx_padded = self.b_haadf.shape[0]
+        else:
+            self.nx_padded = self.nx
+        self.x = jnp.zeros(
+            (self.nel, self.nx_padded, self.ny, self.ny), jnp.float32
+        )
         if mesh is not None:
             self.x = dist.shard_volume_4d(self.x, mesh)
             self.b_chem = jax.device_put(
@@ -472,14 +518,18 @@ class ChemicalTomo:
         return self
 
     def rmse_per_element(self, ground_truth) -> np.ndarray:
-        return np.asarray(
-            ops.rmse_per_element(self.x, jnp.asarray(ground_truth))
-        )
+        x = self.x
+        if self.mesh is not None:
+            x = dist.unpad_slices(x, self._ns_orig, axis=1)
+        return np.asarray(ops.rmse_per_element(x, jnp.asarray(ground_truth)))
 
     def get_recon(self) -> np.ndarray:
         """(Nel, Nslice, Nray, Nray) (reconstructor.py:238-249)."""
         if self.reconTotal is None:
-            self.reconTotal = np.asarray(self.x)
+            x = self.x
+            if self.mesh is not None:
+                x = dist.unpad_slices(x, self._ns_orig, axis=1)
+            self.reconTotal = np.asarray(x)
         return self.reconTotal
 
     def display_recon(self, path=None):

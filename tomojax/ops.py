@@ -89,7 +89,10 @@ def poisson_noise(key, b, n_counts: int):
     try:
         from tomojax import native
 
-        noisy = np.ascontiguousarray(b_host, np.float32)
+        # forced copy: np.ascontiguousarray can return the caller's own
+        # buffer (or a zero-copy view of a jax array) and the native
+        # kernel writes in place
+        noisy = np.array(b_host, np.float32)
         native.lib().poisson_noise(noisy, noisy.size, int(n_counts), seed)
     except Exception:
         total = float(b_host.sum())

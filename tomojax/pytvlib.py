@@ -45,17 +45,27 @@ def initialize_algorithm(tomo, alg: str, init_alg: str = ""):
 
 
 def run(tomo, alg: str, beta: float = 1.0, niter: int = 1, **kw):
-    """Run dispatch (reference pytvlib.py:21-31). Executes `niter`
-    iterations of the named algorithm on a TomoTPU instance."""
+    """Run dispatch (reference pytvlib.py:21-31 and cpu pytvlib.py:171-189).
+    Executes `niter` iterations of the named algorithm on a TomoTPU
+    instance — every alias `initialize_algorithm` accepts is runnable."""
     key = _ALG_ALIASES[alg.lower()]
     opt = getattr(tomo, "_alg_opt", "")
     if key == "sirt" or key == "fista":
         return tomo.sirt(Niter=niter, show_convergence=False)
+    if key == "cimmino_sirt":
+        return tomo.sirt(Niter=niter, show_convergence=False, variant="cimmino")
     if key == "cgls":
         return tomo.cgls(Niter=niter, show_convergence=False)
     if key == "sart":
         return tomo.sart(Niter=niter, init=opt or "sequential", beta=beta,
                          show_convergence=False)
+    if key == "art":
+        return tomo.art(Niter=niter, beta=beta, show_convergence=False)
+    if key == "randart":
+        return tomo.art(Niter=niter, beta=beta, random_order=True,
+                        show_convergence=False)
+    if key == "asd_pocs":
+        return tomo.asd_pocs(Niter=niter, beta0=beta)
     if key == "kl_divergence":
         return tomo.kl_divergence(Niter=niter, lambda_param=beta)
     if key == "wbp":

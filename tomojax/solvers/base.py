@@ -104,53 +104,10 @@ def row_norms_sq(geom: Geometry) -> jnp.ndarray:
     return jnp.asarray(out[None])
 
 
-def fp_single_angle(x, cosv, sinv, row_driven, nray: int):
-    """Forward-project ONE angle whose trig values are traced (for SART's
-    sequential angle sweep, where the driving-axis branch is data-dependent).
-
-    Computes both branches and selects — 2x the per-angle FLOPs, only used
-    by SART/ART (reference runs SART via ASTRA's ordered block-Kaczmarz,
-    tomoengine.cpp:162-179).
-
-    x: (Ns, N, N); cosv/sinv: scalars; row_driven: bool scalar.
-    Returns (Ns, Nt).
-    """
-    n = x.shape[-1]
-    tj = jnp.arange(nray, dtype=jnp.float32) - (nray - 1) / 2.0
-    ctr = (n - 1) / 2.0
-    idx = jnp.arange(n, dtype=jnp.float32)
-
-    def branch(img, denom, shear_num, mirrored):
-        inv_d = 1.0 / denom
-        shear = shear_num * inv_d
-        coord = (ctr - idx) if not mirrored else (idx - ctr)
-        if not mirrored:
-            pos = tj[:, None] * inv_d + coord[None, :] * shear + ctr
-        else:
-            pos = ctr - tj[:, None] * inv_d + coord[None, :] * shear
-        f = jnp.floor(pos)
-        frac = pos - f
-        i0 = f.astype(jnp.int32)
-        i1 = i0 + 1
-        w0 = jnp.where((i0 >= 0) & (i0 < n), 1.0 - frac, 0.0)
-        w1 = jnp.where((i1 >= 0) & (i1 < n), frac, 0.0)
-        i0 = jnp.clip(i0, 0, n - 1)
-        i1 = jnp.clip(i1, 0, n - 1)
-        # out[s, j] = sum_m w0*img[s, m, i0[j, m]] + w1*img[s, m, i1[j, m]]
-        img_b = img[:, None, :, :]
-        g0 = jnp.take_along_axis(img_b, i0[None, :, :, None], axis=-1)[..., 0]
-        g1 = jnp.take_along_axis(img_b, i1[None, :, :, None], axis=-1)[..., 0]
-        return (g0 * w0[None] + g1 * w1[None]).sum(-1) / jnp.abs(denom)
-
-    safe_cos = jnp.where(jnp.abs(cosv) < 1e-8, 1.0, cosv)
-    safe_sin = jnp.where(jnp.abs(sinv) < 1e-8, 1.0, sinv)
-    p_row = branch(x, safe_cos, -sinv, False)
-    p_col = branch(x.transpose(0, 2, 1), safe_sin, cosv, True)
-    return jnp.where(row_driven, p_row, p_col)
-
-
 def bp_single_angle(y, cosv, sinv, n: int):
-    """Backproject ONE angle (branch-free, see joseph.py): (Ns, Nt) -> (Ns, N, N)."""
+    """Backproject ONE angle with traced trig values (branch-free, see
+    joseph.py) — used to build SART's per-angle column weights
+    (iterative.make_sart_weights). (Ns, Nt) -> (Ns, N, N)."""
     nt = y.shape[-1]
     xc = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
     yr = (n - 1) / 2.0 - jnp.arange(n, dtype=jnp.float32)

@@ -147,12 +147,27 @@ class TiltWatcher:
         return new
 
     def _append_log(self):
-        """Persist the running (projs, tilts) log (logger.py:113-123)."""
+        """Persist the running (projs, tilts) log (logger.py:113-123) by
+        true appending: resizable datasets, only new entries written."""
         import h5py
 
-        with h5py.File(self.log_path, "w") as f:
-            f["tiltAngles"] = np.asarray(self.angles, np.float64)
-            f["projections"] = np.stack(self.images)
+        with h5py.File(self.log_path, "a") as f:
+            if "tiltAngles" not in f:
+                shape = self.images[0].shape
+                f.create_dataset(
+                    "tiltAngles", (0,), maxshape=(None,), dtype=np.float64
+                )
+                f.create_dataset(
+                    "projections", (0,) + shape, maxshape=(None,) + shape,
+                    dtype=np.float32,
+                )
+            da, dp = f["tiltAngles"], f["projections"]
+            start, total = da.shape[0], len(self.angles)
+            if total > start:
+                da.resize((total,))
+                dp.resize((total,) + dp.shape[1:])
+                da[start:] = np.asarray(self.angles[start:], np.float64)
+                dp[start:] = np.stack(self.images[start:]).astype(np.float32)
 
     def check_for_new_tilts(self) -> bool:
         return len(self.poll()) > 0
@@ -229,24 +244,35 @@ class DynamicReconstructor:
             self.projections.append(np.asarray(img, np.float32))
 
     def _bucketed(self) -> int:
-        n = len(self.angles)
+        """Angle-buffer capacity, rounded up to the bucket size. Grows
+        past max_angles if the acquisition overshoots the estimate (the
+        reference likewise keeps growing the operator; max_angles is only
+        the default stop condition for `run`)."""
+        n = max(len(self.angles), 1)
         b = self.angle_bucket
-        return min(self.max_angles, ((n + b - 1) // b) * b)
+        return ((n + b - 1) // b) * b
 
     def _system(self):
         """(Geometry, System, b, mask) for the current bucketed angle set;
         padded angles are masked to zero weight so they contribute nothing
-        to any update (they replicate the last real angle geometrically)."""
+        to any update (they replicate the last real angle geometrically).
+
+        Memoized on (bucket size, angle set) so idle polling rounds reuse
+        the traced/jitted programs instead of re-tracing each round."""
         from tomojax.solvers import make_system
 
         nb = self._bucketed()
         n_real = len(self.angles)
-        angles = np.zeros(nb)
-        angles[:n_real] = self.angles
-        if n_real and nb > n_real:
-            angles[n_real:] = self.angles[-1]
-        geom = Geometry.make(self.nray, np.deg2rad(angles))
-        sysd = make_system(geom)
+        key = (nb, n_real, tuple(self.angles))
+        if key not in self._cache:
+            angles = np.zeros(nb)
+            angles[:n_real] = self.angles
+            if n_real and nb > n_real:
+                angles[n_real:] = self.angles[-1]
+            geom = Geometry.make(self.nray, np.deg2rad(angles))
+            self._cache.clear()  # only the current geometry is ever reused
+            self._cache[key] = (geom, make_system(geom), {})
+        geom, sysd, _steps = self._cache[key]
         nslice = self.projections[0].shape[0]
         b = np.zeros((nslice, nb, self.nray), np.float32)
         for i, p in enumerate(self.projections):
@@ -254,6 +280,14 @@ class DynamicReconstructor:
         mask = np.zeros((1, nb, 1), np.float32)
         mask[:, :n_real] = 1.0
         return geom, sysd, b, mask
+
+    def _get_step(self, kind: str, build):
+        """Fetch/build a jitted step for the current cached geometry."""
+        key = next(iter(self._cache))
+        steps = self._cache[key][2]
+        if kind not in steps:
+            steps[kind] = build()
+        return steps[kind]
 
     # ---------------------------------------------------------- solve --
 
@@ -270,24 +304,29 @@ class DynamicReconstructor:
         if self.x is None or self.x.shape[0] != nslice:
             self.x = jnp.zeros((nslice, self.nray, self.nray), jnp.float32)
 
-        # Masked SIRT: zero the padded angles' residual weights; the column
-        # weights come from the masked row geometry too so the update stays
-        # a proper SIRT step on the real angle subset.
-        inv_r = sysd.inv_row * mj
-        ones_masked = jnp.broadcast_to(mj, (1, geom.nproj, geom.nray))
-        col = bp(ones_masked, geom)
-        inv_c = jnp.where(col > 1e-6, 1.0 / jnp.maximum(col, 1e-6), 0.0)
+        def build():
+            # Masked SIRT: zero the padded angles' residual weights; the
+            # column weights come from the masked row geometry too so the
+            # update stays a proper SIRT step on the real angle subset.
+            @jax.jit
+            def step(x, b, m):
+                inv_r = sysd.inv_row * m
+                ones_masked = jnp.broadcast_to(m, (1, geom.nproj, geom.nray))
+                col = bp(ones_masked, geom)
+                inv_c = jnp.where(col > 1e-6, 1.0 / jnp.maximum(col, 1e-6), 0.0)
+                resid = (b - fp(x, geom)) * inv_r
+                x = jnp.maximum(x + inv_c * bp(resid, geom), 0.0)
+                r2 = (fp(x, geom) - b) * m
+                dd = jnp.sqrt(jnp.sum(r2 * r2))
+                return x, dd
 
-        @jax.jit
-        def step(x, b):
-            resid = (b - fp(x, geom)) * inv_r
-            x = x + inv_c * bp(resid, geom)
-            return jnp.maximum(x, 0.0)
+            return step
 
+        step = self._get_step("sirt", build)
+        dd = 0.0
         for _ in range(n_iter):
-            self.x = step(self.x, bj)
-        resid = (fp(self.x, geom) - bj) * mj
-        dd = float(jnp.sqrt(jnp.sum(resid * resid)))
+            self.x, dd = step(self.x, bj, mj)
+        dd = float(dd)
         self.dd_history.append(dd)
         return dd
 
@@ -315,31 +354,38 @@ class DynamicReconstructor:
         if self.x is None or self.x.shape[0] != nslice:
             self.x = jnp.zeros((nslice, self.nray, self.nray), jnp.float32)
 
-        inv_r = sysd.inv_row * mj
-        ones_masked = jnp.broadcast_to(mj, (1, geom.nproj, geom.nray))
-        col = bp(ones_masked, geom)
-        inv_c = jnp.where(col > 1e-6, 1.0 / jnp.maximum(col, 1e-6), 0.0)
+        def build():
+            @jax.jit
+            def step(x, b, m, dpocs, first):
+                inv_r = sysd.inv_row * m
+                ones_masked = jnp.broadcast_to(m, (1, geom.nproj, geom.nray))
+                col = bp(ones_masked, geom)
+                inv_c = jnp.where(col > 1e-6, 1.0 / jnp.maximum(col, 1e-6), 0.0)
+                x0 = x
+                resid = (b - fp(x, geom)) * inv_r
+                x = jnp.maximum(x + inv_c * bp(resid, geom), 0.0)
+                dp = jnp.sqrt(jnp.sum((x - x0) ** 2))
+                # dPOCS initialized from the first data-step magnitude
+                # BEFORE the TV descent (cpu/dynamicCS.py:93-96 /
+                # sim_ASD.py:72-76 — the first TV step is not a no-op)
+                dpocs = jnp.where(first, alpha * dp, dpocs)
+                r2 = (fp(x, geom) - b) * m
+                dd = jnp.sqrt(jnp.sum(r2 * r2))
+                x1 = x
+                x, _ = tvmod.tv_gd(x, ng, dpocs)
+                dg = jnp.sqrt(jnp.sum((x - x1) ** 2))
+                return x, dp, dd, dg, dpocs
 
-        @jax.jit
-        def step(x, b, dpocs):
-            x0 = x
-            resid = (b - fp(x, geom)) * inv_r
-            x = jnp.maximum(x + inv_c * bp(resid, geom), 0.0)
-            dp = jnp.sqrt(jnp.sum((x - x0) ** 2))
-            r2 = (fp(x, geom) - b) * mj
-            dd = jnp.sqrt(jnp.sum(r2 * r2))
-            x1 = x
-            x, _ = tvmod.tv_gd(x, ng, dpocs)
-            dg = jnp.sqrt(jnp.sum((x - x1) ** 2))
-            return x, dp, dd, dg
+            return step
 
-        dpocs = self._dpocs if hasattr(self, "_dpocs") else 0.0
+        step = self._get_step(f"cs-{ng}-{alpha}", build)
+        dpocs = getattr(self, "_dpocs", 0.0)
         dd = 0.0
         for j in range(n_iter):
-            self.x, dp, dd, dg = step(self.x, bj, dpocs)
+            first = dpocs == 0.0
+            self.x, dp, dd, dg, dpocs_eff = step(self.x, bj, mj, dpocs, first)
             dp, dd, dg = float(dp), float(dd), float(dg)
-            if dpocs == 0.0:
-                dpocs = alpha * dp
+            dpocs = float(dpocs_eff)
             if dg > r_max * dp and dd > eps:
                 dpocs *= alpha_red
         self._dpocs = dpocs
@@ -377,7 +423,15 @@ class DynamicReconstructor:
         expected_angles: Optional[int] = None,
         poll_sleep: float = 0.0,
     ):
-        """Reconstruct-until-new-data loop (dynamicTomo.py:66-104)."""
+        """Reconstruct-until-new-data loop (dynamicTomo.py:66-104).
+
+        Uses the solver selected at construction: alg='sirt' runs masked
+        SIRT rounds; alg in ('cs', 'asd-pocs') runs the TV-regularized
+        compressed-sensing rounds (dynamicCS.py workflow)."""
+        do_iter = (
+            self.iterate_cs if self.alg in ("cs", "asd-pocs", "asd")
+            else self.iterate
+        )
         expected = expected_angles or self.max_angles
         rounds = 0
         while rounds < max_rounds:
@@ -386,13 +440,13 @@ class DynamicReconstructor:
                 self.checkpoint()
                 self.add_projections(new)
             if self.projections:
-                self.iterate(iters_per_round)
+                do_iter(iters_per_round)
             rounds += 1
             if len(self.angles) >= expected:
                 break
             if poll_sleep:
                 time.sleep(poll_sleep)
         if self.projections:
-            self.iterate(iters_per_round)
+            do_iter(iters_per_round)
             self.checkpoint()
         return self.x
