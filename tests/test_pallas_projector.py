@@ -1,0 +1,89 @@
+"""Pallas projector kernels (projector/pallas_joseph.py) vs the XLA paths.
+
+Runs in interpret mode on the CPU test mesh (tests/conftest.py). The
+kernels implement the same unified Joseph closed form as the XLA 'gather'
+mode (the strict-adjoint reference); at HIGHEST precision they must agree
+to f32 rounding, and the emulated-HIGH split to ~1e-4 absolute.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tomojax import config as tjconfig
+from tomojax.geometry import Geometry
+from tomojax.projector.joseph import bp, fp
+from tomojax.projector.pallas_joseph import bp_pallas, fp_pallas
+
+HI = jax.lax.Precision.HIGHEST
+
+SHAPES = [(5, 33, 7), (8, 32, 12), (3, 16, 1), (130, 24, 9)]
+
+
+def _problem(ns, n, na, seed=0):
+    rng = np.random.default_rng(seed)
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-76, 76, na)))
+    x = jnp.asarray(rng.normal(size=(ns, n, n)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(ns, na, n)).astype(np.float32))
+    return geom, x, y
+
+
+@pytest.mark.parametrize("ns,n,na", SHAPES)
+def test_fp_matches_gather(ns, n, na):
+    geom, x, _ = _problem(ns, n, na)
+    ref = fp(x, geom, mode="gather")
+    got = fp_pallas(x, geom, precision=HI, interpret=True)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ns,n,na", SHAPES)
+def test_bp_matches_gather(ns, n, na):
+    geom, _, y = _problem(ns, n, na)
+    ref = bp(y, geom, mode="gather")
+    got = bp_pallas(y, geom, precision=HI, interpret=True)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_adjointness_tolerance():
+    geom, x, y = _problem(6, 32, 11)
+    ax = fp_pallas(x, geom, precision=HI, interpret=True)
+    aty = bp_pallas(y, geom, precision=HI, interpret=True)
+    lhs = float(jnp.vdot(ax, y))
+    rhs = float(jnp.vdot(x, aty))
+    assert abs(lhs - rhs) <= 1e-5 * max(abs(lhs), abs(rhs), 1.0)
+
+
+def test_high_precision_split_close():
+    geom, x, _ = _problem(4, 32, 9)
+    ref = fp(x, geom, mode="gather")
+    got = fp_pallas(x, geom, precision=jax.lax.Precision.HIGH, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(got, ref, atol=5e-5 * scale)
+
+
+def test_dispatch_via_config():
+    geom, x, y = _problem(4, 16, 5)
+    old = tjconfig.projector_mode
+    try:
+        tjconfig.set_projector_mode("pallas")
+        # jax.default_backend() == 'cpu' in tests -> interpret mode
+        got_fp = fp(x, geom)
+        got_bp = bp(y, geom)
+    finally:
+        tjconfig.set_projector_mode(old)
+    np.testing.assert_allclose(got_fp, fp(x, geom, mode="gather"),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_bp, bp(y, geom, mode="gather"),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_empty_angles_falls_back():
+    geom = Geometry.make(16, np.zeros((0,)))
+    old = tjconfig.projector_mode
+    try:
+        tjconfig.set_projector_mode("pallas")
+        out = fp(jnp.ones((2, 16, 16)), geom)
+    finally:
+        tjconfig.set_projector_mode(old)
+    assert out.shape == (2, 0, 16)

@@ -187,7 +187,11 @@ def _fp_branch_mxu(x, cosv, sinv, row_driven: bool, nray: int):
 
 def _fp_impl(x, geom: Geometry, mode: str | None = None):
     """Forward projection: (Ns, N, N) -> (Ns, Nproj, Nray)."""
-    mode = mode or tjconfig.projector_mode
+    mode = tjconfig.resolve_projector_mode(mode)
+    if mode == "pallas" and geom.nproj > 0:
+        from tomojax.projector.pallas_joseph import fp_pallas
+
+        return fp_pallas(x, geom, interpret=jax.default_backend() == "cpu")
     branch = _fp_branch_mxu if mode == "mxu" else _fp_branch
     rd = geom.row_driven
     p_row = branch(x, geom.cos[rd], geom.sin[rd], True, geom.nray)
@@ -309,7 +313,11 @@ def fp(x, geom: Geometry, mode: str | None = None):
 
 def bp(y, geom: Geometry, mode: str | None = None):
     """Matched backprojection A^T y : (Ns, Nproj, Nray) -> (Ns, N, N)."""
-    mode = mode or tjconfig.projector_mode
+    mode = tjconfig.resolve_projector_mode(mode)
+    if mode == "pallas" and geom.nproj > 0:
+        from tomojax.projector.pallas_joseph import bp_pallas
+
+        return bp_pallas(y, geom, interpret=jax.default_backend() == "cpu")
     if mode == "mxu":
         return _bp_mxu(y, geom)
     return _bp_impl(y, geom)

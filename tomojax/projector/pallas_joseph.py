@@ -1,0 +1,256 @@
+"""Fused Pallas TPU kernels for the Joseph projector pair.
+
+Same math as tomojax/projector/joseph.py (the TPU-native replacement for
+ASTRA's CUDA parallel-beam projectors, reference
+tomofusion/gpu/utils/tomoengine.cpp:109-127/:279-291), expressed in the
+unified closed form of the module docstring there:
+
+    W[a, j, r, c] = hat((j - J*)/D_a) / D_a,
+    J*[a, r, c]   = x_c cos_a + y_r sin_a + (Nray-1)/2,
+    D_a           = max(|cos_a|, |sin_a|),   hat(u) = max(0, 1-|u|).
+
+Why a kernel at all: the XLA formulations scan over image rows (FP) or
+angles (BP) carrying the full accumulator — (Na, Nt, Ns) resp.
+(N, N, Ns), ~24-64 MB — through HBM on *every* step, which costs more
+HBM traffic than the actual input data. Here the accumulator tile lives
+in VMEM across the contraction grid dimension:
+
+  * FP: grid (angle-blocks, slice-blocks, rows). Each program builds the
+    2-banded interpolation matrix W_r[a, j, c] for its 8-angle block in
+    registers and contracts it with the row plane on the MXU
+    ((A_BLK*Nt, N) @ (N, S_BLK)); the (A_BLK, Nt, S_BLK) sinogram tile
+    accumulates in VMEM, written back once.
+  * BP: grid (row-blocks, slice-blocks, angles), dual matrix
+    W[(r, c), j], volume tile (RB, N, S_BLK) accumulates in VMEM.
+
+The volume (FP) / sinogram (BP) streams through VMEM once per
+angle-block / row-block — ~0.8 GB total at 256^3 x 90 instead of the
+~12 GB the scan accumulator costs. The MXU contraction runs at
+``tomojax.config.pallas_precision`` (DEFAULT bf16 — see config.py for
+the measured convergence-parity argument; HIGH is emulated as a bf16
+split since Mosaic only lowers DEFAULT/HIGHEST).
+
+Measured (v5e, 256^3 x 90, f32): FP+BP averages 4.8 ms/op at DEFAULT,
+13.1 ms at HIGH-split, 25.2 ms at HIGHEST vs the XLA 'mxu' scan's
+8.3 / 16.2 / 26.8 ms; full FISTA-TV iteration 35.5 ms vs 71.4 ms
+(DEFAULT vs mxu/HIGH) with rmse@20iter equal to 2e-6.
+
+Angle/slice counts are padded to block multiples; padded angles get
+1/D = 0 so every padded weight is exactly zero (no masking needed), and
+padded slices are zero-filled.
+
+Single-device only (the slice axis must be fully local); dispatched via
+``tomojax.config.projector_mode == 'pallas'`` or 'auto' gating in
+joseph.py. Falls back to interpret mode off-TPU for tests.
+
+Adjointness note: FP and BP compute the identical weight expression in
+the same operation order, but as two separately compiled kernels the
+compiler may fuse/FMA them differently, so the pair is adjoint to ~1e-6
+relative (f32 rounding), not bitwise like the XLA 'gather' mode. Use
+'gather' where strict adjointness matters; tests enforce the tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tomojax.geometry import Geometry
+from tomojax import config as tjconfig
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_axis(arr, axis: int, size: int):
+    if arr.shape[axis] == size:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, size - arr.shape[axis])
+    return jnp.pad(arr, pad)
+
+
+def _angle_tables(geom: Geometry, na_pad: int):
+    """(na_pad, 1) f32 cos / sin / 1/D tables; padded rows get 1/D = 0 so
+    their Joseph weights vanish identically."""
+    cos = np.zeros((na_pad, 1), np.float32)
+    sin = np.zeros((na_pad, 1), np.float32)
+    invd = np.zeros((na_pad, 1), np.float32)
+    cos[: geom.nproj, 0] = geom.cos
+    sin[: geom.nproj, 0] = geom.sin
+    invd[: geom.nproj, 0] = 1.0 / geom.driving
+    return jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(invd)
+
+
+def _slice_block(ns: int) -> int:
+    if ns >= 128:
+        return 256 if ns % 256 == 0 else 128
+    return _round_up(ns, 8)
+
+
+def _kernel_precision(prec):
+    """Mosaic's dot lowering accepts only DEFAULT / HIGHEST; HIGH (bf16x3)
+    is emulated in the kernels by a 2-term bf16 split of the weight
+    operand (the image/sinogram operand stays bf16-rounded — its low bits
+    are below the interpolation discretization error)."""
+    if prec in (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST):
+        return prec
+    return "split"
+
+
+def _dot(w, v, prec):
+    if prec != "split":
+        return jax.lax.dot_general(
+            w, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    vh = v.astype(jnp.bfloat16)
+    vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (
+        jax.lax.dot_general(wh, vh, dn, **kw)
+        + jax.lax.dot_general(wh, vl, dn, **kw)
+        + jax.lax.dot_general(wl, vh, dn, **kw)
+    )
+
+
+def _compiler_params():
+    # Contraction dim is the innermost grid axis ('arbitrary' = sequential,
+    # required for VMEM accumulation); the outer two are parallel.
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        )
+    except TypeError:  # older/newer param name sets
+        return None
+
+
+def _fp_kernel(n, nray, prec, cos_ref, sin_ref, invd_ref, img_ref, out_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    a_blk, _, s_blk = out_ref.shape
+    yr = (n - 1) / 2.0 - k.astype(jnp.float32)
+    xc = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32) - (n - 1) / 2.0
+    off = (nray - 1) / 2.0
+    # J*[a, c] for this image row
+    jstar = cos_ref[:] * xc + (sin_ref[:] * yr + off)  # (A_BLK, N)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, nray, 1), 1).astype(jnp.float32)
+    invd = invd_ref[:][:, :, None]  # (A_BLK, 1, 1)
+    w = (
+        jnp.maximum(0.0, 1.0 - jnp.abs(iota_j - jstar[:, None, :]) * invd)
+        * invd
+    )  # (A_BLK, Nt, N)
+    contrib = _dot(w.reshape(a_blk * nray, n), img_ref[0], prec)
+    out_ref[:] += contrib.reshape(a_blk, nray, s_blk)
+
+
+def fp_pallas(x, geom: Geometry, precision=None, a_blk: int = 8,
+              interpret: bool = False):
+    """Forward projection A x : (Ns, N, N) -> (Ns, Nproj, Nray)."""
+    ns, n, _ = x.shape
+    nray, na = geom.nray, geom.nproj
+    prec = _kernel_precision(
+        precision if precision is not None else tjconfig.pallas_precision
+    )
+    s_blk = _slice_block(ns)
+    ns_pad = _round_up(ns, s_blk)
+    na_pad = _round_up(na, a_blk)
+    cos, sin, invd = _angle_tables(geom, na_pad)
+
+    img = _pad_axis(x.transpose(1, 2, 0), 2, ns_pad)  # (r, c, s)
+    ang_spec = pl.BlockSpec((a_blk, 1), lambda a, s, k: (a, 0))
+    out = pl.pallas_call(
+        partial(_fp_kernel, n, nray, prec),
+        grid=(na_pad // a_blk, ns_pad // s_blk, n),
+        in_specs=[
+            ang_spec,
+            ang_spec,
+            ang_spec,
+            pl.BlockSpec((1, n, s_blk), lambda a, s, k: (k, 0, s)),
+        ],
+        out_specs=pl.BlockSpec((a_blk, nray, s_blk), lambda a, s, k: (a, 0, s)),
+        out_shape=jax.ShapeDtypeStruct((na_pad, nray, ns_pad), x.dtype),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(cos, sin, invd, img)
+    return out[:na, :, :ns].transpose(2, 0, 1)
+
+
+def _bp_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref, out_ref):
+    r = pl.program_id(0)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _, _, s_blk = out_ref.shape
+    ck = cos_ref[0, k]
+    sk = sin_ref[0, k]
+    invd = invd_ref[0, k]
+    rows = (r * rb + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)).astype(jnp.float32)
+    yr = (n - 1) / 2.0 - rows  # (RB, 1)
+    xc = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32) - (n - 1) / 2.0
+    off = (nray - 1) / 2.0
+    jstar = ck * xc + (sk * yr + off)  # (RB, N)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nray), 2).astype(jnp.float32)
+    w = (
+        jnp.maximum(
+            0.0, 1.0 - jnp.abs(iota_j - jstar[:, :, None]) * invd
+        )
+        * invd
+    )  # (RB, N, Nt)
+    contrib = _dot(w.reshape(rb * n, nray), y_ref[0], prec)
+    out_ref[:] += contrib.reshape(rb, n, s_blk)
+
+
+def bp_pallas(y, geom: Geometry, precision=None, rb: int = 8,
+              interpret: bool = False):
+    """Matched backprojection A^T y : (Ns, Nproj, Nray) -> (Ns, N, N)."""
+    ns, na, nray = y.shape
+    n = geom.n
+    assert na == geom.nproj and nray == geom.nray
+    prec = _kernel_precision(
+        precision if precision is not None else tjconfig.pallas_precision
+    )
+    s_blk = _slice_block(ns)
+    ns_pad = _round_up(ns, s_blk)
+    na_pad = _round_up(na, 1)
+    cos, sin, invd = _angle_tables(geom, na_pad)
+
+    yt = _pad_axis(_pad_axis(y.transpose(1, 2, 0), 2, ns_pad), 0, na_pad)
+    n_pad = _round_up(n, rb)
+    # full (1, Na) tables in SMEM, indexed by the angle grid position
+    cos, sin, invd = (t.reshape(1, na_pad) for t in (cos, sin, invd))
+    ang_spec = pl.BlockSpec(
+        (1, na_pad), lambda r, s, k: (0, 0), memory_space=pltpu.SMEM
+    )
+    out = pl.pallas_call(
+        partial(_bp_kernel, n, nray, rb, prec),
+        grid=(n_pad // rb, ns_pad // s_blk, na_pad),
+        in_specs=[
+            ang_spec,
+            ang_spec,
+            ang_spec,
+            pl.BlockSpec((1, nray, s_blk), lambda r, s, k: (k, 0, s)),
+        ],
+        out_specs=pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n, ns_pad), y.dtype),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(cos, sin, invd, yt)
+    return out[:n, :, :ns].transpose(2, 0, 1)
