@@ -60,3 +60,20 @@ def test_dispatch_respects_config():
     assert not tjconfig.use_pallas_tv()  # cpu in tests
     with pytest.raises(AssertionError):
         tjconfig.set_tv_impl("gpu-only")
+
+
+@pytest.mark.parametrize("iters,shape", [(1, (8, 16, 16)), (4, (12, 16, 16)),
+                                         (10, (16, 24, 24)), (7, (5, 12, 12))])
+def test_fused_matches_twopass(iters, shape):
+    """The fused obj+grad kernel (n-1 fused iters + final obj) is an
+    exact reformulation of the two-pass path; results agree to f32
+    rounding (compiler may re-associate/FMA differently)."""
+    from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32)) + 0.5
+    ref, tv_ref = tv_fgp_pallas(x, iters, 0.2, interpret=True)
+    got, tv_got = tv_fgp_pallas_fused(x, iters, 0.2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+    assert float(tv_got) == float(tv_ref)

@@ -151,9 +151,9 @@ def tv_fgp(x, n_iter: int, lam):
     from tomojax import config as tjconfig
 
     if x.ndim == 3 and tjconfig.use_pallas_tv():
-        from tomojax.tv.pallas_fgp import tv_fgp_pallas
+        from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
 
-        return tv_fgp_pallas(x, n_iter, lam)
+        return tv_fgp_pallas_fused(x, n_iter, lam)
     a = x.ndim
     ax = (a - 3, a - 2, a - 1)
     tv0 = tv(x)
