@@ -113,11 +113,15 @@ def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
     order: (Na,) int32 angle visiting order (sequential = arange; random =
     a permutation, reference tomoengine.cpp:164 updateProjOrder).
 
-    Per-angle FP and BP are one-hot MXU contractions evaluated *in the
-    driving-axis-transposed layout* — the backprojection is applied as
-    W^T against the same interpolation matrices, so each angle costs two
-    volume transposes plus matmuls (the matched-transpose structure makes
-    FP/BP exact adjoints per block by construction)."""
+    Uses the *unified* Joseph closed form (projector/joseph.py docstring:
+    ``W[j, r, c] = hat((j - J*)/D)/D`` with ``J* = x_c cos + y_r sin``),
+    which is branch-free in the driving axis — the volume stays in one
+    (row, col, slice) layout for the entire sweep instead of being
+    transposed per angle (the old per-angle ``lax.cond`` layout flip cost
+    two full-volume transposes per angle, ~2.3x the sweep time). Per
+    angle: one row-chunked MXU FP contraction, then an update scan that
+    applies ``W^T resid`` chunk-by-chunk (same W => exact per-block
+    adjoint), with relaxation/weights/clamp per ASTRA semantics."""
     geom = sys.geom
     na, n, nt = geom.nproj, geom.n, geom.nray
     ns = x.shape[0]
@@ -125,91 +129,73 @@ def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
         order = jnp.arange(na, dtype=jnp.int32)
     cosv = jnp.asarray(geom.cos, jnp.float32)
     sinv = jnp.asarray(geom.sin, jnp.float32)
-    rowdrv = jnp.asarray(geom.row_driven)
+    invd_all = jnp.asarray(1.0 / geom.driving, jnp.float32)
     inv_row = sys.inv_row[0]  # (Na, Nt)
-    tj = jnp.arange(nt, dtype=jnp.float32) - (nt - 1) / 2.0
     ctr = (n - 1) / 2.0
-    iota = jnp.arange(n, dtype=jnp.float32)
+    off = (nt - 1) / 2.0
+    xcoord = jnp.arange(n, dtype=jnp.float32) - ctr  # x_c per column
+    ycoord = ctr - jnp.arange(n, dtype=jnp.float32)  # y_r per row
+    iota_j = jnp.arange(nt, dtype=jnp.float32)
     prec = tjconfig.mxu_precision
 
-    def one_branch(xT, ba, invr, invcT, cv, sv, row_driven):
-        """xT: (step, interp, Ns). Returns updated xT (same layout)."""
-        safe = jnp.where(row_driven, cv, sv)
-        safe = jnp.where(jnp.abs(safe) < 1e-8, 1.0, safe)
-        inv_d = 1.0 / safe
-        shear = jnp.where(row_driven, -sv, cv) * inv_d
-        scale = jnp.abs(inv_d)
+    ch = 32
+    while n % ch:
+        ch //= 2
+    nch = n // ch
+    yrc = ycoord.reshape(nch, ch)
 
-        def pos_at(m):
-            # m: (CH,) step indices -> (CH, Nt) detector-axis positions
-            coord = jnp.where(row_driven, ctr - m, m - ctr)
-            return jnp.where(
-                row_driven,
-                tj[None, :] * inv_d + coord[:, None] * shear + ctr,
-                ctr - tj[None, :] * inv_d + coord[:, None] * shear,
-            )
+    xT = x.transpose(1, 2, 0)  # (r, c, Ns) for the whole sweep
 
-        # Chunk the step axis so each scan iteration is ONE large MXU
-        # matmul [W_m0 .. W_mk] (Nt, CH*N) @ stacked-steps (CH*N, Ns)
-        # instead of CH tiny ones (the scan is latency-bound otherwise).
-        ch = 32
-        while n % ch:
-            ch //= 2
-        nch = n // ch
-        xc = xT.reshape(nch, ch, n, ns)
-        mc = iota.reshape(nch, ch)
+    def body(xT, a):
+        cv, sv, invd = cosv[a], sinv[a], invd_all[a]
+        ba = b[:, a, :].T  # (Nt, Ns)
+        invr = inv_row[a]  # (Nt,)
+        invc = inv_col_a[a]  # (N, N) in (r, c)
 
-        def wmat(m):  # (CH,) -> (Nt, CH*N) hat weights
-            w = jnp.maximum(
-                0.0, 1.0 - jnp.abs(pos_at(m)[:, :, None] - iota[None, None, :])
-            )  # (CH, Nt, N)
-            return w.transpose(1, 0, 2).reshape(nt, ch * n)
+        def wmat(yr_b):  # (CH,) row y-coords -> (CH*N, Nt) hat weights
+            jstar = cv * xcoord[None, :] + sv * yr_b[:, None] + off  # (CH,N)
+            w = (
+                jnp.maximum(
+                    0.0,
+                    1.0
+                    - jnp.abs(jstar[:, :, None] - iota_j[None, None, :])
+                    * invd,
+                )
+                * invd
+            )  # (CH, N, Nt)
+            return w.reshape(ch * n, nt)
+
+        xc4 = xT.reshape(nch, ch, n, ns)
 
         def fp_body(acc, args):
-            img_k, m = args  # (CH, N, Ns), (CH,)
+            img_k, yr_b = args  # (CH, N, Ns), (CH,)
             return acc + jax.lax.dot_general(
-                wmat(m), img_k.reshape(ch * n, ns),
-                (((1,), (0,)), ((), ())),
+                wmat(yr_b), img_k.reshape(ch * n, ns),
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             ), None
 
         proj, _ = jax.lax.scan(
-            fp_body, jnp.zeros((nt, ns), xT.dtype), (xc, mc)
+            fp_body, jnp.zeros((nt, ns), xT.dtype), (xc4, yrc)
         )
-        resid = (ba - proj * scale) * invr[:, None]  # (Nt, Ns)
+        resid = (ba - proj) * invr[:, None]  # (Nt, Ns)
 
-        def bp_body(carry, m):
+        invc4 = invc.reshape(nch, ch, n)
+
+        def upd_body(_, args):
+            img_k, invc_k, yr_b = args
             upd = jax.lax.dot_general(
-                wmat(m).T, resid, (((1,), (0,)), ((), ())),
+                wmat(yr_b), resid, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            )
-            return carry, (upd * scale).reshape(ch, n, ns)
+            ).reshape(ch, n, ns)
+            new = img_k + beta * invc_k[..., None] * upd
+            return None, jnp.maximum(new, 0.0)
 
-        _, upd = jax.lax.scan(bp_body, None, mc)  # (nch, CH, N, Ns)
-        upd = upd.reshape(n, n, ns)
-        return jnp.maximum(xT + beta * invcT[..., None] * upd, 0.0)
+        _, xnew = jax.lax.scan(upd_body, None, (xc4, invc4, yrc))
+        return xnew.reshape(n, n, ns), None
 
-    def body(xx, a):
-        cv, sv, rd = cosv[a], sinv[a], rowdrv[a]
-        ba = b[:, a, :].T  # (Nt, Ns)
-        invr = inv_row[a]
-        invc = inv_col_a[a]
-
-        def do_row(xx):
-            xT = xx.transpose(1, 2, 0)  # (r, c, Ns)
-            xT = one_branch(xT, ba, invr, invc, cv, sv, True)
-            return xT.transpose(2, 0, 1)
-
-        def do_col(xx):
-            xT = xx.transpose(2, 1, 0)  # (c, r, Ns)
-            xT = one_branch(xT, ba, invr, invc.T, cv, sv, False)
-            return xT.transpose(2, 1, 0)
-
-        xx = jax.lax.cond(rd, do_row, do_col, xx)
-        return xx, None
-
-    x, _ = jax.lax.scan(body, x, order)
-    return x
+    xT, _ = jax.lax.scan(body, xT, order)
+    return xT.transpose(2, 0, 1)
 
 
 # ------------------------------------------------------------------ ART ---
