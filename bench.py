@@ -61,5 +61,62 @@ def main():
     )
 
 
+def scaling(max_devices=None, ns=64, n=128, na=45, iters=10):
+    """Strong-scaling study (BASELINE.md target: voxels/s at 1 chip ->
+    N devices, >=80% linear). Shards the FISTA-TV step as z-slabs over
+    1, 2, 4, ... device meshes and reports parallel efficiency.
+
+    On this container the multi-device mesh is the 8-device virtual CPU
+    mesh (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+    python bench.py --scaling); on a pod it measures real ICI/DCN scaling
+    unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tomojax import dist
+    from tomojax.geometry import Geometry
+    from tomojax.solvers import make_system, fista_init, fista_step
+    from tomojax.sim import shepp_logan
+    from tomojax.projector.joseph import fp
+
+    ndev_all = jax.device_count() if max_devices is None else max_devices
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-76, 76, na)))
+    sysd = make_system(geom)
+    ph = jnp.asarray(np.stack([shepp_logan(n)] * ns))
+    results = []
+    sizes = [d for d in (1, 2, 4, 8, 16, 32, 64) if d <= ndev_all]
+    for ndev in sizes:
+        mesh = dist.make_mesh(ndev)
+        slab3 = NamedSharding(mesh, P(dist.SLAB_AXIS, None, None))
+        b = jax.jit(lambda v: fp(v, geom), out_shardings=slab3)(
+            jax.device_put(ph, slab3)
+        )
+        st = fista_init(
+            jax.device_put(jnp.zeros((ns, n, n), jnp.float32), slab3)
+        )
+        step = jax.jit(lambda s, bb: fista_step(s, bb, sysd, 0.1, 10, True))
+        st, _ = step(st, b)
+        jax.block_until_ready(st.x)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, _ = step(st, b)
+        jax.block_until_ready(st.x)
+        dt = time.perf_counter() - t0
+        v = ns * n * n * iters / dt
+        results.append((ndev, v))
+        eff = v / (results[0][1] * ndev)
+        print(json.dumps({
+            "metric": f"fista_tv_scaling_{ns}x{n}x{n}_{na}ang",
+            "devices": ndev,
+            "value": round(v, 1),
+            "unit": "voxel-iters/s",
+            "parallel_efficiency": round(eff, 3),
+        }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        sys.argv.remove("--scaling")
+        scaling(*(int(a) for a in sys.argv[1:5]) if len(sys.argv) > 1 else ())
+    else:
+        main()

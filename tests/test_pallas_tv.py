@@ -77,3 +77,21 @@ def test_fused_matches_twopass(iters, shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-6, atol=2e-6)
     assert float(tv_got) == float(tv_ref)
+
+
+def test_fgp_4d_element_batching():
+    """The 4D dispatch maps the fused 3D kernel over the element axis and
+    sums per-element TV (reference chemistry tv_fgp.cu:192-287 semantics:
+    elements never couple)."""
+    from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
+    from tomojax.tv import tv_fgp
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 12)).astype(np.float32)) + 0.4
+    ref, tv_ref = tv_fgp(x, 5, 0.1)  # XLA 4D path on CPU
+    got, tv0 = jax.lax.map(
+        lambda xe: tv_fgp_pallas_fused(xe, 5, 0.1, interpret=True), x
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(float(jnp.sum(tv0)), float(tv_ref), rtol=1e-6)

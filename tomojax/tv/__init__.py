@@ -154,6 +154,16 @@ def tv_fgp(x, n_iter: int, lam):
         from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
 
         return tv_fgp_pallas_fused(x, n_iter, lam)
+    if x.ndim == 4 and tjconfig.use_pallas_tv():
+        # element axis is a pure batch axis for the stencil (reference 4D
+        # TV runs the 3D kernels per element and sums the TV value,
+        # chemistry/utils/regularizers/tv_fgp.cu:192-287)
+        from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
+
+        d, tv0 = jax.lax.map(
+            lambda xe: tv_fgp_pallas_fused(xe, n_iter, lam), x
+        )
+        return d, jnp.sum(tv0)
     a = x.ndim
     ax = (a - 3, a - 2, a - 1)
     tv0 = tv(x)
