@@ -35,7 +35,7 @@ def main():
     b = jax.jit(lambda v: fp(v, geom))(vol)
     jax.block_until_ready(b)
 
-    state = fista_init(jnp.zeros((ns, n, n), jnp.float32))
+    state = fista_init(jnp.zeros((ns, n, n), jnp.float32), sysd)
     step = jax.jit(lambda st, b: fista_step(st, b, sysd, 0.1, 10, True))
 
     # warmup/compile
@@ -92,7 +92,7 @@ def scaling(max_devices=None, ns=64, n=128, na=45, iters=10):
             jax.device_put(ph, slab3)
         )
         st = fista_init(
-            jax.device_put(jnp.zeros((ns, n, n), jnp.float32), slab3)
+            jax.device_put(jnp.zeros((ns, n, n), jnp.float32), slab3), sysd
         )
         step = jax.jit(lambda s, bb: fista_step(s, bb, sysd, 0.1, 10, True))
         st, _ = step(st, b)

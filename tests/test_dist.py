@@ -87,10 +87,10 @@ def test_sharded_metrics(mesh, problem):
 
 def test_sharded_fista_step(mesh, problem):
     geom, sysd, ph, b = problem
-    st_ref = fista_init(jnp.zeros((NS, N, N)))
+    st_ref = fista_init(jnp.zeros((NS, N, N)), sysd)
     st_ref, m_ref = fista_step(st_ref, b, sysd, 0.01, 5, True)
 
-    st = fista_init(dist.shard_volume(jnp.zeros((NS, N, N)), mesh))
+    st = fista_init(dist.shard_volume(jnp.zeros((NS, N, N)), mesh), sysd)
     bs = dist.shard_volume(b, mesh)
     step = jax.jit(lambda st, b: fista_step(st, b, sysd, 0.01, 5, True))
     st, m = step(st, bs)

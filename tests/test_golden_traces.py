@@ -46,7 +46,7 @@ def problem():
 
 def test_fista_trace(problem):
     geom, sysd, ph, b = problem
-    st = fista_init(jnp.zeros_like(ph))
+    st = fista_init(jnp.zeros_like(ph), sysd)
     dd_trace, rmse_trace = [], []
     for _ in range(10):
         st, (cost, dd, tvv) = fista_step(st, b, sysd, 0.01, 5, True)

@@ -170,7 +170,7 @@ def test_least_squares_step(problem):
 
 def test_fista_tv(tilt_problem):
     geom, sysd, ph, b = tilt_problem
-    st = fista_init(jnp.zeros_like(ph))
+    st = fista_init(jnp.zeros_like(ph), sysd)
     step = jax.jit(lambda st: fista_step(st, b, sysd, 0.005, 10, True))
     costs = []
     for _ in range(25):
@@ -181,7 +181,7 @@ def test_fista_tv(tilt_problem):
     # looser than SIRT's (TV pays off under noise, not on clean data).
     assert float(ops.rmse(st.x, ph)) < 0.15
     # reference-compat mode (prox discarded) also runs & converges in dd
-    st2 = fista_init(jnp.zeros_like(ph))
+    st2 = fista_init(jnp.zeros_like(ph), sysd)
     step2 = jax.jit(
         lambda st: fista_step(st, b, sysd, 0.02, 10, True, compat="reference")
     )

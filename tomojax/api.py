@@ -236,7 +236,7 @@ class TomoTPU:
         """FISTA-TV (reference reconstructor.py:121-155). See
         solvers/fista.py for the documented reference-compat deviation."""
         self.restart_recon()
-        st = fista_init(self.x)
+        st = fista_init(self.x, self.sys)
         step = jax.jit(
             lambda st, b: fista_step(
                 st, b, self.sys, lambda_param, nTViter, momentum, compat,

@@ -7,6 +7,15 @@ maps 'fista' to SIRT, tomofusion/pytvlib.py:27), proximal step = FGP TV
 denoise, momentum t_{k+1} = (1 + sqrt(1 + 4 t_k^2))/2,
 y_{k+1} = x_k + ((t_k - 1)/t_{k+1})(x_k - x_{k-1}).
 
+Projection reuse (TPU perf design, absent in the reference): the state
+carries A yk. Because A is linear,
+    A y_{k+1} = A x_k + beta (A x_k - A x_{k-1}),
+so the forward projection computed for the cost metric (data distance of
+x_k, reconstructor.py:152) doubles as the next gradient step's A yk — one
+FP + one BP per iteration total, where the reference runs FP twice (once
+inside SIRT, once in data_distance, tomoengine.cpp:189-205,410-427).
+Differences vs projecting y directly are f32-rounding-level.
+
 IMPORTANT documented deviation: in the reference, `tv_fgp` operates on the
 stale `recon` buffer while the gradient step writes `yk`, and the momentum
 step then overwrites `recon` with `yk` (tomoengine.cpp:381-384) — so with
@@ -21,12 +30,12 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from tomojax.solvers.base import System
-from tomojax.solvers.iterative import sirt_sweep
 from tomojax import tv as tvmod
-from tomojax.projector.joseph import fp
+from tomojax.projector.joseph import bp, fp
 
 
 class FistaState(NamedTuple):
@@ -34,11 +43,18 @@ class FistaState(NamedTuple):
     x_old: jnp.ndarray
     yk: jnp.ndarray
     t: jnp.ndarray  # momentum scalar
+    ax: jnp.ndarray  # A x_old (the previous iterate's projections)
+    ay: jnp.ndarray  # A yk
 
 
-def fista_init(x0) -> FistaState:
-    """Mirror of initialize_fista (tomoengine.cpp:350-372): yk = x_old = x."""
-    return FistaState(x=x0, x_old=x0, yk=x0, t=jnp.float32(1.0))
+def fista_init(x0, sys: System) -> FistaState:
+    """Mirror of initialize_fista (tomoengine.cpp:350-372): yk = x_old = x.
+
+    Also projects x0 once to seed the carried A-images (see module
+    docstring "Projection reuse")."""
+    ax = jax.jit(lambda v: fp(v, sys.geom))(x0)
+    return FistaState(x=x0, x_old=x0, yk=x0, t=jnp.float32(1.0),
+                      ax=ax, ay=ax)
 
 
 def fista_step(
@@ -53,11 +69,15 @@ def fista_step(
 ):
     """One FISTA-TV iteration. Returns (state, cost_terms).
 
-    cost = 0.5 * dd^2 + lam * tv  (reconstructor.py:152). With
-    compute_metrics=False the cost terms are zeros and the extra forward
-    projection + TV evaluation (~25% of the iteration) are skipped —
-    useful for throughput runs / off-iteration logging."""
-    z = sirt_sweep(state.yk if momentum else state.x, b, sys, 1)
+    cost = 0.5 * dd^2 + lam * tv  (reconstructor.py:152). One FP + one BP
+    per call (see module docstring); compute_metrics=False only skips the
+    TV evaluation and scalar reductions."""
+    geom = sys.geom
+    # gradient step = 1 ASTRA-semantics SIRT iteration on yk, with the
+    # carried A yk instead of a fresh forward projection
+    y = state.yk if momentum else state.x
+    resid = (b - state.ay) * sys.inv_row
+    z = jnp.maximum(y + sys.inv_col * bp(resid, geom), 0.0)
 
     if compat == "reference" and momentum:
         # Reference behavior: prox discarded (see module docstring).
@@ -65,19 +85,23 @@ def fista_step(
     else:
         x_new, _ = tvmod.tv_fgp(z, n_tv_iter, lam)
 
+    ax_new = fp(x_new, geom)
     if momentum:
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state.t**2))
         beta = (state.t - 1.0) / t_new
         y_new = x_new + beta * (x_new - state.x_old)
-        state = FistaState(x=x_new, x_old=x_new, yk=y_new, t=t_new)
+        ay_new = ax_new + beta * (ax_new - state.ax)
+        state = FistaState(x=x_new, x_old=x_new, yk=y_new, t=t_new,
+                           ax=ax_new, ay=ay_new)
     else:
-        state = FistaState(x=x_new, x_old=state.x, yk=x_new, t=state.t)
+        state = FistaState(x=x_new, x_old=state.x, yk=x_new, t=state.t,
+                           ax=ax_new, ay=ax_new)
 
     if not compute_metrics:
-        z = jnp.float32(0.0)
-        return state, (z, z, z)
-    resid = fp(state.x, sys.geom) - b
-    dd = jnp.sqrt(jnp.sum(resid * resid))
+        z0 = jnp.float32(0.0)
+        return state, (z0, z0, z0)
+    r = ax_new - b
+    dd = jnp.sqrt(jnp.sum(r * r))
     tv_val = tvmod.tv(state.x)
     cost = 0.5 * dd**2 + lam * tv_val
     return state, (cost, dd, tv_val)

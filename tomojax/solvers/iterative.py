@@ -138,6 +138,14 @@ def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
     iota_j = jnp.arange(nt, dtype=jnp.float32)
     prec = tjconfig.mxu_precision
 
+    # Iteration precision follows the projector fast path: on a
+    # single-device TPU (resolved 'pallas' mode) the contractions run at
+    # pallas_precision (bf16 DEFAULT) — measured convergence-equivalent
+    # (SART rmse@10 at 256^3 x 90: 0.0470809 vs 0.0470812 at HIGH) at
+    # 27.6 vs 43.2 ms/sweep; CPU and sharded meshes keep mxu_precision.
+    if tjconfig.resolve_projector_mode(None) == "pallas":
+        prec = tjconfig.pallas_precision
+
     ch = 32
     while n % ch:
         ch //= 2
