@@ -73,10 +73,32 @@ def test_fused_matches_twopass(iters, shape):
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=shape).astype(np.float32)) + 0.5
     ref, tv_ref = tv_fgp_pallas(x, iters, 0.2, interpret=True)
-    got, tv_got = tv_fgp_pallas_fused(x, iters, 0.2, interpret=True)
+    got, tv_got = tv_fgp_pallas_fused(x, iters, 0.2, interpret=True,
+                                      dual_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-6, atol=2e-6)
     assert float(tv_got) == float(tv_ref)
+
+
+def test_fused_bf16_duals_close():
+    """bf16 dual storage (the default perf knob, config.fgp_dual_dtype)
+    perturbs the denoised volume by ~lam * 2^-9 only — the duals are
+    unit-ball bounded, arithmetic stays f32 (tv/pallas_fgp.py)."""
+    from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
+
+    rng = np.random.default_rng(5)
+    lam = 0.2
+    x = jnp.asarray(rng.normal(size=(8, 16, 16)).astype(np.float32)) + 0.5
+    ref, _ = tv_fgp_pallas_fused(x, 6, lam, interpret=True,
+                                 dual_dtype=jnp.float32)
+    got, _ = tv_fgp_pallas_fused(x, 6, lam, interpret=True,
+                                 dual_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.float32
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < lam * 3e-2, err
+    # and the default config routes through bf16
+    from tomojax import config as tjconfig
+    assert jnp.dtype(tjconfig.fgp_dual_dtype) == jnp.bfloat16
 
 
 def test_fgp_4d_element_batching():
@@ -90,7 +112,8 @@ def test_fgp_4d_element_batching():
     x = jnp.asarray(rng.normal(size=(2, 8, 12, 12)).astype(np.float32)) + 0.4
     ref, tv_ref = tv_fgp(x, 5, 0.1)  # XLA 4D path on CPU
     got, tv0 = jax.lax.map(
-        lambda xe: tv_fgp_pallas_fused(xe, 5, 0.1, interpret=True), x
+        lambda xe: tv_fgp_pallas_fused(xe, 5, 0.1, interpret=True,
+                                       dual_dtype=jnp.float32), x
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-6, atol=2e-6)

@@ -38,6 +38,16 @@ mxu_precision = jax.lax.Precision.HIGH
 # operator-level verification.
 pallas_precision = jax.lax.Precision.DEFAULT
 
+# fgp_dual_dtype: HBM storage dtype of the FGP dual fields P1..P3 between
+# fused-kernel iterations (tv/pallas_fgp.py). The dual-ball projection
+# keeps |P| <= 1 every iteration, so bfloat16 storage costs ~2^-9 relative
+# on P (~lam*1e-3 absolute on the denoised volume) and cuts the FGP
+# kernel's HBM traffic ~40%. All arithmetic stays f32 in-register.
+# Measured convergence-equivalent on the BASELINE FISTA-TV problem (see
+# docs/ARCHITECTURE.md). Set to jnp.float32 for strict reference-f32
+# verification (tv_fgp.cu is f32 throughout).
+fgp_dual_dtype = "bfloat16"
+
 # tv_impl: 'auto' uses the fused Pallas FGP kernels on a single-device
 # non-CPU backend (1.9x at 256^3) and the XLA stencils otherwise (CPU,
 # multi-device meshes — where the rolls must lower to halo collectives).
@@ -65,10 +75,12 @@ def resolve_projector_mode(mode: str | None = None) -> str:
     return "mxu"
 
 
-def set_tv_impl(impl: str):
-    global tv_impl
+def set_tv_impl(impl: str, dual_dtype=None):
+    global tv_impl, fgp_dual_dtype
     assert impl in ("auto", "xla", "pallas"), impl
     tv_impl = impl
+    if dual_dtype is not None:
+        fgp_dual_dtype = dual_dtype
 
 
 def use_pallas_tv() -> bool:

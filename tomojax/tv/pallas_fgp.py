@@ -33,12 +33,13 @@ from jax.experimental import pallas as pl
 
 def _obj_kernel(lam, x_ref, p1_ref, p1m_ref, p2_ref, p3_ref, d_ref):
     i = pl.program_id(0)
-    p1 = p1_ref[0]
-    p2 = p2_ref[0]
-    p3 = p3_ref[0]
+    f32 = jnp.float32
+    p1 = p1_ref[0].astype(f32)
+    p2 = p2_ref[0].astype(f32)
+    p3 = p3_ref[0].astype(f32)
     n_r, n_c = p2.shape
     # z: p1[i] - p1[i-1] (zero below the low boundary)
-    prev = jnp.where(i == 0, jnp.zeros_like(p1), p1m_ref[0])
+    prev = jnp.where(i == 0, jnp.zeros_like(p1), p1m_ref[0].astype(f32))
     div = p1 - prev
     # y: p2 - p2 shifted down one row
     div += p2 - jnp.concatenate(
@@ -85,12 +86,15 @@ def _fused_kernel(lam, multip, pb, nz, x_ref, xn_ref, p1_ref, p1p_ref,
     traffic vs the two-pass formulation (d never round-trips)."""
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
+    f32 = jnp.float32
     xx = jnp.concatenate([x_ref[:], xn_ref[:]], axis=0)  # planes gz..gz+PB
-    p2 = jnp.concatenate([p2_ref[:], p2n_ref[:]], axis=0)
-    p3 = jnp.concatenate([p3_ref[:], p3n_ref[:]], axis=0)
+    p2 = jnp.concatenate([p2_ref[:], p2n_ref[:]], axis=0).astype(f32)
+    p3 = jnp.concatenate([p3_ref[:], p3n_ref[:]], axis=0).astype(f32)
     # p1 planes i*PB-1 .. i*PB+PB; the gz=-1 plane (clamped copy) is zeroed
     # to give the reference's zero-divergence low boundary.
-    p1f = jnp.concatenate([p1p_ref[:], p1_ref[:], p1n_ref[:]], axis=0)
+    p1f = jnp.concatenate(
+        [p1p_ref[:], p1_ref[:], p1n_ref[:]], axis=0
+    ).astype(f32)
     zidx = jax.lax.broadcasted_iota(jnp.int32, (pb + 2, 1, 1), 0)
     p1f = jnp.where((i == 0) & (zidx == 0), 0.0, p1f)
 
@@ -123,9 +127,9 @@ def _fused_kernel(lam, multip, pb, nz, x_ref, xn_ref, p1_ref, p1p_ref,
     p3 = p3[:-1] + multip * g3
     denom = p1 * p1 + p2 * p2 + p3 * p3
     scale = jnp.where(denom > 1.0, jax.lax.rsqrt(denom), 1.0)
-    o1_ref[:] = p1 * scale
-    o2_ref[:] = p2 * scale
-    o3_ref[:] = p3 * scale
+    o1_ref[:] = (p1 * scale).astype(o1_ref.dtype)
+    o2_ref[:] = (p2 * scale).astype(o2_ref.dtype)
+    o3_ref[:] = (p3 * scale).astype(o3_ref.dtype)
 
 
 def _fused_plane_block(nz: int) -> int:
@@ -137,7 +141,8 @@ def _fused_plane_block(nz: int) -> int:
     return 1
 
 
-def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False):
+def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
+                        dual_dtype=None):
     """FGP with the obj+grad passes fused into one kernel per iteration.
 
     Exact reformulation of `tv_fgp_pallas` (equal to f32 rounding;
@@ -146,15 +151,29 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False):
     materializes d = obj(x, P_{n-1}) exactly like the reference's return
     value (tv_fgp.cu:272). The fused kernel's trailing P_n is never formed
     — the reference discards it too.
+
+    dual_dtype (default tomojax.config.fgp_dual_dtype): HBM storage type
+    of the dual fields P1..P3 between iterations. The projection keeps
+    |P| <= 1, so bfloat16 storage loses ~2^-9 relative on P — i.e.
+    ~lam*1e-3 absolute on the returned d — while cutting the kernel's HBM
+    traffic ~40% (all arithmetic stays f32 in-register). The reference
+    kernels are f32 throughout (tv_fgp.cu:44-115); this deviation is a
+    TPU perf knob, measured convergence-equivalent on the BASELINE
+    FISTA-TV problem (see config.py).
     """
     from tomojax import tv as tvmod
+    from tomojax import config as tjconfig
 
     nz, ny, nx = x.shape
     pb = _fused_plane_block(nz)
     tv0 = tvmod.tv(x)
     lam = float(lam)
     multip = 1.0 / (26.0 * lam)
+    if dual_dtype is None:
+        dual_dtype = tjconfig.fgp_dual_dtype
+    dual_dtype = jnp.dtype(dual_dtype)
     shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    dshape = jax.ShapeDtypeStruct(x.shape, dual_dtype)
     nblk = nz // pb
 
     blk = pl.BlockSpec((pb, ny, nx), lambda i: (i, 0, 0))
@@ -170,7 +189,7 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False):
         in_specs=[blk, plane_next, blk, plane_prev, plane_next, blk,
                   plane_next, blk, plane_next],
         out_specs=(blk, blk, blk),
-        out_shape=(shape, shape, shape),
+        out_shape=(dshape, dshape, dshape),
         interpret=interpret,
     )
 
@@ -191,7 +210,7 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False):
         p1, p2, p3 = carry
         return fused(x, x, p1, p1, p1, p2, p2, p3, p3)
 
-    z = jnp.zeros_like(x)
+    z = jnp.zeros(x.shape, dual_dtype)
     p1, p2, p3 = jax.lax.fori_loop(0, n_iter - 1, body, (z, z, z))
     d = obj(x, p1, p1, p2, p3)
     return d, tv0
