@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(markdown: bool = False):
     import jax
     import jax.numpy as jnp
     from tomojax.geometry import Geometry
@@ -59,6 +59,17 @@ def main():
             }
         )
     )
+    if markdown:
+        # README/ARCHITECTURE perf snippet — regenerate instead of
+        # hand-editing so the docs can't drift from the measured number.
+        dev = jax.devices()[0].device_kind
+        ms = dt / iters * 1e3
+        print(
+            f"\n**{voxel_iters_per_s/1e6:.1f}M voxel-iters/s** full "
+            f"FISTA-TV at {ns}³ x {na} angles "
+            f"(≈{ms:.1f} ms per iteration incl. FP + BP + 10 FGP "
+            f"iterations + momentum + metrics) on one {dev}."
+        )
 
 
 def scaling(max_devices=None, ns=64, n=128, na=45, iters=10):
@@ -119,4 +130,6 @@ if __name__ == "__main__":
         sys.argv.remove("--scaling")
         scaling(*(int(a) for a in sys.argv[1:5]) if len(sys.argv) > 1 else ())
     else:
-        main()
+        markdown = "--markdown" in sys.argv
+        sys.argv = [a for a in sys.argv if a != "--markdown"]
+        main(markdown=markdown)

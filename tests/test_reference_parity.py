@@ -1,0 +1,312 @@
+"""De-circularized convergence parity vs the reference's own operator.
+
+The golden traces (tests/test_golden_traces.py) are recorded FROM tomojax,
+so they catch regressions but not a day-1 deviation from the reference's
+math. Here the oracle is `native.CpuEngine` — an exact-matrix engine built
+from the reference's own operator definition (the Siddon ray matrix of
+cpu/utils/pytvlib.py:8-121 `parallelRay`) running the reference ctvlib
+update rules (ART ctvlib.cpp:137-191, Landweber/Cimmino SIRT :205-251,
+TV-GD :406-462, the ASTRA R/C-weighted SIRT of tomoengine.cpp:181-205),
+plus an independent NumPy FGP oracle for the TV prox (tv_fgp.cu:192-281).
+
+Protocol: both engines simulate measurements with their OWN operator from
+the same ground truth and reconstruct from zero; we compare per-iteration
+convergence curves. This pins algorithm dynamics (weightings, step sizes,
+clamps, momentum, adaptation logic) while tolerating the Joseph-vs-Siddon
+operator discretization gap (~1-2e-2 relative on operator outputs).
+
+Tolerances (all ~2-3x the measured gap at this problem size, recorded in
+comments per test): normalized-dd curves match to a few percent for the
+fixed-step solvers; ASD-POCS's adaptive dPOCS feedback amplifies operator
+differences into the dd curve (~0.11 measured) but the reconstruction
+quality (rmse) still matches to < 1e-3.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tomojax.geometry import Geometry
+from tomojax.solvers import make_system, fista_init, fista_step
+from tomojax.solvers.iterative import sirt_sweep, art_sweep
+from tomojax.solvers.base import row_norms_sq
+from tomojax.projector.joseph import fp
+from tomojax.sim import shepp_logan
+from tomojax import ops
+from tomojax import tv as tvmod
+
+pytest.importorskip("scipy")
+native = pytest.importorskip("tomojax.native")
+
+NS, N, NA = 4, 32, 20
+ANGLES = np.linspace(-60, 60, NA)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gt = np.stack([shepp_logan(N)] * NS).astype(np.float32)
+    geom = Geometry.make(N, np.deg2rad(ANGLES))
+    sysd = make_system(geom)
+    b_jax = jax.jit(lambda v: fp(v, geom))(jnp.asarray(gt))
+    eng = native.CpuEngine(NS, N, ANGLES)
+    eng.set_recon(gt)
+    b_nat = eng.fp()
+    return gt, geom, sysd, b_jax, b_nat
+
+
+def _fresh_native(b_nat):
+    e = native.CpuEngine(NS, N, ANGLES)
+    e.b = b_nat.copy()
+    return e
+
+
+def _jax_sirt_curves(variant, n_iter, geom, sysd, b_jax, gt, **kw):
+    x = jnp.zeros((NS, N, N), jnp.float32)
+    step = jax.jit(lambda x: sirt_sweep(x, b_jax, sysd, 1, variant=variant, **kw))
+    dd, rm = [], []
+    for _ in range(n_iter):
+        x = step(x)
+        dd.append(float(ops.data_distance(fp(x, geom), b_jax)))
+        rm.append(float(ops.rmse(x, jnp.asarray(gt))))
+    return np.array(dd), np.array(rm)
+
+
+def _native_curves(e, method, n_iter, gt, **kw):
+    dd, rm = [], []
+    for _ in range(n_iter):
+        getattr(e, method)(**kw)
+        dd.append(e.data_distance())
+        rm.append(e.rmse(gt))
+    return np.array(dd), np.array(rm)
+
+
+def _assert_curves(dj, rj, dn, rn, dd_tol, rmse_tol):
+    # normalized dd curves (each engine vs its own b) + absolute rmse
+    assert np.max(np.abs(dj / dj[0] - dn / dn[0])) < dd_tol
+    assert np.max(np.abs(rj - rn)) < rmse_tol
+    # both must actually converge (guards against trivially-flat curves)
+    assert dj[-1] < 0.9 * dj[0] and dn[-1] < 0.9 * dn[0]
+
+
+def test_sirt_landweber_parity(setup):
+    """beta = 1/L Landweber (ctvlib.cpp:205-221). Measured gap at this
+    size: dd 0.014, rmse 0.0035."""
+    gt, geom, sysd, b_jax, b_nat = setup
+    dj, rj = _jax_sirt_curves("landweber", 12, geom, sysd, b_jax, gt)
+    dn, rn = _native_curves(_fresh_native(b_nat), "sirt", 12, gt)
+    _assert_curves(dj, rj, dn, rn, dd_tol=0.03, rmse_tol=0.01)
+
+
+def test_sirt_cimmino_parity(setup):
+    """Cimmino x += (1/Nrow) A^T M (b-Ax) (ctvlib.cpp:245-251). The
+    per-row 1/||a_r||^2 weighting amplifies the Joseph-vs-Siddon row-norm
+    difference (Joseph hat-interpolated rows have systematically smaller
+    norms than Siddon segment-length rows: mean 22.9 vs 28.2 here), so
+    the measured dd gap is larger: 0.053, rmse 0.0042."""
+    gt, geom, sysd, b_jax, b_nat = setup
+    dj, rj = _jax_sirt_curves(
+        "cimmino", 12, geom, sysd, b_jax, gt, row_nsq=row_norms_sq(geom)
+    )
+    dn, rn = _native_curves(
+        _fresh_native(b_nat), "sirt", 12, gt, cimmino=True
+    )
+    # cimmino converges slowly at 12 iters; relax the convergence guard
+    assert np.max(np.abs(dj / dj[0] - dn / dn[0])) < 0.12
+    assert np.max(np.abs(rj - rn)) < 0.012
+    assert dj[-1] < dj[0] and dn[-1] < dn[0]
+
+
+def test_sirt_astra_parity(setup):
+    """ASTRA R/C-weighted SIRT with per-iteration nonneg clamp — the
+    flavor the reference GPU engine runs and the FISTA gradient step
+    (tomoengine.cpp:181-205). Measured gap: dd 0.013, rmse 0.0048."""
+    gt, geom, sysd, b_jax, b_nat = setup
+    dj, rj = _jax_sirt_curves("astra", 12, geom, sysd, b_jax, gt)
+    dn, rn = _native_curves(_fresh_native(b_nat), "sirt_astra", 12, gt)
+    _assert_curves(dj, rj, dn, rn, dd_tol=0.03, rmse_tol=0.012)
+
+
+def test_art_parity(setup):
+    """Sequential Kaczmarz sweeps, beta=0.5 (ctvlib.cpp:137-163; rays
+    visited angle-major in both engines). Measured gap: dd 0.016,
+    rmse 0.0037."""
+    gt, geom, sysd, b_jax, b_nat = setup
+    order = jnp.arange(NA * N, dtype=jnp.int32)
+    step = jax.jit(lambda x: art_sweep(x, b_jax, sysd, 0.5, order))
+    x = jnp.zeros((NS, N, N), jnp.float32)
+    dj, rj = [], []
+    for _ in range(8):
+        x = step(x)
+        dj.append(float(ops.data_distance(fp(x, geom), b_jax)))
+        rj.append(float(ops.rmse(x, jnp.asarray(gt))))
+    dn, rn = _native_curves(_fresh_native(b_nat), "art", 8, gt, beta=0.5)
+    _assert_curves(np.array(dj), np.array(rj), dn, rn,
+                   dd_tol=0.04, rmse_tol=0.01)
+
+
+# --------------------------------------------------------------------------
+# NumPy FGP oracle (independent implementation of tv_fgp.cu:192-281: dual
+# step 1/(26 lam), no dual momentum, zero-gradient BCs, nonneg clamp,
+# isotropic dual-ball projection).
+# --------------------------------------------------------------------------
+
+
+def fgp_np(x, n_iter, lam):
+    multip = 1.0 / (26.0 * lam)
+    p1, p2, p3 = (np.zeros_like(x) for _ in range(3))
+    d = np.zeros_like(x)
+
+    def bdiff(p, ax):
+        out = p.copy()
+        sl = [slice(None)] * 3
+        sl[ax] = slice(1, None)
+        slp = [slice(None)] * 3
+        slp[ax] = slice(0, -1)
+        out[tuple(sl)] = p[tuple(sl)] - p[tuple(slp)]
+        return out
+
+    def fdiff(d, ax):
+        out = np.zeros_like(d)
+        sl = [slice(None)] * 3
+        sl[ax] = slice(0, -1)
+        sln = [slice(None)] * 3
+        sln[ax] = slice(1, None)
+        out[tuple(sl)] = d[tuple(sl)] - d[tuple(sln)]
+        return out
+
+    for _ in range(n_iter):
+        div = bdiff(p1, 0) + bdiff(p2, 1) + bdiff(p3, 2)
+        d = np.maximum(x - lam * div, 0.0)
+        p1 = p1 + multip * fdiff(d, 0)
+        p2 = p2 + multip * fdiff(d, 1)
+        p3 = p3 + multip * fdiff(d, 2)
+        denom = p1 * p1 + p2 * p2 + p3 * p3
+        scale = np.where(denom > 1.0, 1.0 / np.sqrt(denom), 1.0)
+        p1 *= scale
+        p2 *= scale
+        p3 *= scale
+    return d
+
+
+def test_fgp_numpy_oracle_matches_jax():
+    """The JAX FGP and the independent NumPy FGP agree to f32 rounding
+    (measured 6e-8) — this de-circularizes the TV prox itself."""
+    rng = np.random.default_rng(1)
+    z = rng.random((8, 16, 16)).astype(np.float32)
+    dj = np.asarray(tvmod.tv_fgp(jnp.asarray(z), 10, 0.1)[0])
+    dn = fgp_np(z, 10, 0.1)
+    assert np.abs(dj - dn).max() < 1e-5
+
+
+def test_native_tv_matches_stencil():
+    """Native TV value (eps=1e-8 periodic, ctvlib.cpp:336-367) vs direct
+    numpy stencil."""
+    rng = np.random.default_rng(2)
+    vol = rng.random((NS, N, N)).astype(np.float32)
+    e = native.CpuEngine(NS, N, ANGLES)
+    e.set_recon(vol)
+    x = vol.astype(np.float64)
+    ref = np.sqrt(
+        1e-8
+        + (x - np.roll(x, -1, 0)) ** 2
+        + (x - np.roll(x, -1, 1)) ** 2
+        + (x - np.roll(x, -1, 2)) ** 2
+    ).sum()
+    assert abs(e.tv() - ref) / ref < 1e-5
+
+
+def test_fista_tv_parity(setup):
+    """FISTA-TV: astra-SIRT gradient step on yk + FGP prox + Nesterov
+    momentum (reconstructor.py:121-155 with the correct prox-kept
+    variant). Native trace = CpuEngine astra sweep + NumPy FGP + the same
+    momentum recursion. Measured gap: dd 0.029, rmse 0.0006."""
+    gt, geom, sysd, b_jax, b_nat = setup
+    LAM, NTV, NIT = 0.05, 10, 10
+
+    st = fista_init(jnp.zeros((NS, N, N), jnp.float32), sysd)
+    step = jax.jit(lambda s: fista_step(s, b_jax, sysd, LAM, NTV, True))
+    dj, rj = [], []
+    for _ in range(NIT):
+        st, (_, dd, _) = step(st)
+        dj.append(float(dd))
+        rj.append(float(ops.rmse(st.x, jnp.asarray(gt))))
+
+    e = _fresh_native(b_nat)
+    x_old = np.zeros((NS, N, N), np.float32)
+    yk = x_old.copy()
+    t = 1.0
+    dn, rn = [], []
+    for _ in range(NIT):
+        e.set_recon(yk)
+        e.sirt_astra(1)
+        xk = fgp_np(e.get_recon(), NTV, LAM)
+        t_new = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
+        yk = xk + ((t - 1.0) / t_new) * (xk - x_old)
+        x_old, t = xk, t_new
+        e.set_recon(xk)
+        dn.append(e.data_distance())
+        rn.append(e.rmse(gt))
+    _assert_curves(np.array(dj), np.array(rj), np.array(dn), np.array(rn),
+                   dd_tol=0.06, rmse_tol=0.003)
+
+
+def test_asd_pocs_parity(setup):
+    """ASD-POCS, the canonical working recipe (cpu/sim_ASD.py:65-96):
+    ART data step w/ beta reduction, dPOCS-normalized TV-GD, dg/dp/eps
+    adaptation. Native trace = CpuEngine.art + CpuEngine.tv_gd + the same
+    host logic. The adaptive feedback amplifies operator differences into
+    the dd curve (measured 0.105) but reconstruction quality matches:
+    rmse gap measured 0.0006."""
+    gt, geom, sysd, b_jax, b_nat = setup
+    NG, ALPHA, ALPHA_RED, RMAX, EPS_DD = 10, 0.2, 0.95, 0.95, 0.02
+    BETA0, BETA_RED, NIT = 0.5, 0.985, 10
+
+    order = jnp.arange(NA * N, dtype=jnp.int32)
+    arts = jax.jit(lambda x, beta: art_sweep(x, b_jax, sysd, beta, order))
+    tvgd = jax.jit(lambda x, dp: tvmod.tv_gd(x, NG, dp))
+    ddj = jax.jit(lambda x: ops.data_distance(fp(x, geom), b_jax))
+    x = jnp.zeros((NS, N, N), jnp.float32)
+    beta, dpocs = BETA0, 0.0
+    dj, tj, rj = [], [], []
+    for i in range(NIT):
+        x0 = x
+        x = arts(x, beta)
+        beta *= BETA_RED
+        dp = float(jnp.linalg.norm(x - x0))
+        if i == 0:
+            dpocs = dp * ALPHA
+        dj.append(float(ddj(x)))
+        rj.append(float(ops.rmse(x, jnp.asarray(gt))))
+        x1 = x
+        x, tv0 = tvgd(x, dpocs)
+        tj.append(float(tv0))
+        dg = float(jnp.linalg.norm(x - x1))
+        if dg > dp * RMAX and dj[-1] > EPS_DD:
+            dpocs *= ALPHA_RED
+
+    e = _fresh_native(b_nat)
+    beta, dpocs = BETA0, 0.0
+    dn, tn, rn = [], [], []
+    for i in range(NIT):
+        x0 = e.get_recon().copy()
+        e.art(beta=beta)
+        beta *= BETA_RED
+        dp = float(np.linalg.norm(e.get_recon() - x0))
+        if i == 0:
+            dpocs = dp * ALPHA
+        dn.append(e.data_distance())
+        rn.append(e.rmse(gt))
+        x1 = e.get_recon().copy()
+        tn.append(e.tv())
+        e.tv_gd(NG, dpocs)
+        dg = float(np.linalg.norm(e.get_recon() - x1))
+        if dg > dp * RMAX and dn[-1] > EPS_DD:
+            dpocs *= ALPHA_RED
+
+    dj, tj, rj = np.array(dj), np.array(tj), np.array(rj)
+    dn, tn, rn = np.array(dn), np.array(tn), np.array(rn)
+    assert np.max(np.abs(dj / dj[0] - dn / dn[0])) < 0.2
+    assert np.max(np.abs(tj / tj[0] - tn / tn[0])) < 0.12
+    assert np.max(np.abs(rj - rn)) < 0.005
+    assert rj[-1] < 0.15 and rn[-1] < 0.15  # both reconstruct well

@@ -14,6 +14,17 @@ Differences by design (TPU-native): there is no engine-object zoo
 reconstructor.py:23-29); one class runs on any `jax.sharding.Mesh`. Pass
 ``mesh=`` (or let it default to all local devices) and the volume is
 sharded as z-slabs; single-device behavior is identical.
+
+Sharded-run caveat: when Nslice is not a multiple of the mesh size, the
+slice axis is zero-padded up to it (dist.pad_slices — jit needs the
+sharded dimension to divide evenly, where the reference instead spreads
+remainder slices over MPI ranks, mpi_astra_ctvlib.cpp:53-58). The
+padding is invisible to the data term (padded slices carry zero
+measurements and reconstruct to ~zero), but the *periodic* TV wrap then
+couples slice Ns-1 to a zero pad slice instead of slice 0 — a
+boundary-plane-sized deviation from the unsharded result in
+TV-regularized algorithms (fista/asd_pocs). Exact across-mesh parity:
+choose Nslice divisible by the mesh size.
 """
 
 from __future__ import annotations
@@ -205,13 +216,17 @@ class TomoTPU:
 
     def kl_divergence(self, Niter: int = 100, lambda_param: float = 0.1):
         """Poisson-ML (reference reconstructor.py:113-119); a *copy* of b
-        is normalized to max 1 (tomoengine.cpp:245 normalizes the stored
-        tilt series in place, which silently rescales every later
-        algorithm run on the same engine — a footgun we don't replicate).
-        The reconstruction is rescaled back to data units afterwards."""
+        is normalized to max 1 — unconditionally, matching the reference
+        (tomoengine.cpp:245 divides by the max whatever its value, so
+        data with max < 1 is scaled *up*; the effective step size is the
+        same either way). The reference normalizes the stored tilt series
+        in place, which silently rescales every later algorithm run on
+        the same engine — a footgun we don't replicate: the stored b is
+        untouched and the reconstruction is rescaled back to data units
+        afterwards."""
         self.restart_recon()
-        bmax = max(float(jnp.max(self.b)), 1.0)
-        b_kl = self.b / bmax if bmax > 1 else self.b
+        bmax = float(jnp.max(self.b))
+        b_kl = self.b / bmax if bmax > 0 else self.b
         step = jax.jit(
             lambda x, b: poisson_ml_step(x, b, self.sys, lambda_param)
         )
@@ -219,7 +234,7 @@ class TomoTPU:
         for i in range(Niter):
             self.x, c = step(self.x, b_kl)
             self.cost[i] = float(c)
-        if bmax > 1:
+        if bmax > 0:
             self.x = self.x * bmax
         self.recon = None
         return self

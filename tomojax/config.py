@@ -80,7 +80,11 @@ def set_tv_impl(impl: str, dual_dtype=None):
     assert impl in ("auto", "xla", "pallas"), impl
     tv_impl = impl
     if dual_dtype is not None:
-        fgp_dual_dtype = dual_dtype
+        # Normalize/validate now so a typo fails here, not at the first
+        # tv_fgp_pallas_fused trace far from the config call.
+        import jax.numpy as jnp
+
+        fgp_dual_dtype = jnp.dtype(dual_dtype)
 
 
 def use_pallas_tv() -> bool:

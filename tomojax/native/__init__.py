@@ -85,6 +85,20 @@ def lib() -> ctypes.CDLL:
         _i64p, _i64p, _f32p, _f32p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_float, ctypes.c_int32, _f32p, ctypes.c_int64, _f32p, _f32p,
     ]
+    l.sirt_astra_sweep.restype = None
+    l.sirt_astra_sweep.argtypes = [
+        _i64p, _i64p, _f32p, _f32p, _f32p, ctypes.c_int64, ctypes.c_int64,
+        _f32p, ctypes.c_int64, _f32p, _f32p, _f32p,
+    ]
+    l.tv_value_3d.restype = ctypes.c_double
+    l.tv_value_3d.argtypes = [
+        _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    l.tv_gd_3d.restype = None
+    l.tv_gd_3d.argtypes = [
+        _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_float, _f32p,
+    ]
     l.poisson_noise.restype = None
     l.poisson_noise.argtypes = [
         _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
@@ -183,15 +197,56 @@ class CpuEngine:
 
     def sirt(self, beta: float | None = None, n_iter: int = 1,
              cimmino: bool = False):
-        """Landweber (beta defaults to 1/L) or Cimmino SIRT."""
+        """Landweber (beta defaults to 1/L) or Cimmino SIRT (beta
+        defaults to 1 — the row-norm weighting self-normalizes,
+        ctvlib.cpp:245-251)."""
         if beta is None:
-            beta = 1.0 / self.lipschitz
+            beta = 1.0 if cimmino else 1.0 / self.lipschitz
         scratch = np.empty((self.nslice, self.nrow), np.float32)
         for _ in range(n_iter):
             lib().sirt_sweep(self._indptr, self._indices, self._data,
                              self._row_nsq, self.nrow, self.ncol,
                              np.float32(beta), 1 if cimmino else 0,
                              self.b, self.nslice, self.x, scratch)
+        return self
+
+    def sirt_astra(self, n_iter: int = 1):
+        """ASTRA-weighted SIRT x <- clamp0(x + C A^T R (b - Ax)) with
+        R/C = inverse row/col sums — the flavor the reference GPU engine
+        runs per slice (tomoengine.cpp:181-205, ASTRA CCudaSirtAlgorithm
+        with min-constraint 0). This is the exact-matrix oracle for the
+        JAX `sirt_sweep(variant='astra')` and the FISTA gradient step."""
+        if not hasattr(self, "_inv_row"):
+            row_sums = np.asarray(self.A.sum(axis=1)).ravel().astype(np.float32)
+            col_sums = np.asarray(self.A.sum(axis=0)).ravel().astype(np.float32)
+            self._inv_row = np.where(row_sums > 1e-6, 1.0 / np.maximum(row_sums, 1e-6), 0.0).astype(np.float32)
+            self._inv_col = np.where(col_sums > 1e-6, 1.0 / np.maximum(col_sums, 1e-6), 0.0).astype(np.float32)
+        sr = np.empty((self.nslice, self.nrow), np.float32)
+        sc = np.empty((self.nslice, self.ncol), np.float32)
+        for _ in range(n_iter):
+            lib().sirt_astra_sweep(self._indptr, self._indices, self._data,
+                                   self._inv_row, self._inv_col, self.nrow,
+                                   self.ncol, self.b, self.nslice, self.x,
+                                   sr, sc)
+        return self
+
+    # ------------------------------------------------------------- TV --
+    def tv(self) -> float:
+        """Isotropic TV value, periodic BCs, eps=1e-8 (ctvlib.cpp:336-367
+        intended math — the reference's uninitialized `float tv;`
+        reduction accumulator is not replicated)."""
+        vol = np.ascontiguousarray(self.get_recon(), np.float32)
+        return float(lib().tv_value_3d(vol, self.nslice, self.n, self.n))
+
+    def tv_gd(self, ng: int, dpocs: float):
+        """`ng` normalized TV-subgradient steps + positivity
+        (ctvlib.cpp:406-462 intended math; the gradient norm is reset
+        every step — the reference's `tv_norm` carries over, UB)."""
+        vol = np.ascontiguousarray(self.get_recon(), np.float32)
+        scratch = np.empty(vol.size, np.float32)
+        lib().tv_gd_3d(vol.reshape(-1), 1, self.nslice, self.n, self.n,
+                       int(ng), np.float32(dpocs), scratch)
+        self.set_recon(vol)
         return self
 
     # --------------------------------------------------------- metrics --

@@ -238,6 +238,149 @@ void sirt_sweep(const int64_t* indptr, const int64_t* indices,
   }
 }
 
+// ASTRA-weighted SIRT sweep: x <- clamp0(x + C A^T R (b - A x)) with
+// R = 1/row-sums, C = 1/col-sums (precomputed by the caller) — the
+// weighting the reference's GPU engine gets from ASTRA's CCudaSirtAlgorithm
+// with min-constraint 0 (tomoengine.cpp:181-205). Gives the native engine
+// the same SIRT flavor the GPU/FISTA paths use, so JAX convergence traces
+// can be pinned against the exact-matrix operator.
+void sirt_astra_sweep(const int64_t* indptr, const int64_t* indices,
+                      const float* data, const float* inv_row,
+                      const float* inv_col, int64_t nrow, int64_t ncol,
+                      const float* b, int64_t ns, float* x,
+                      float* scratch_resid, float* scratch_col) {
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < ns; ++s) {
+    float* xs = x + s * ncol;
+    const float* bs = b + s * nrow;
+    float* rs = scratch_resid + s * nrow;
+    float* us = scratch_col + s * ncol;
+    for (int64_t r = 0; r < nrow; ++r) {
+      double dot = 0.0;
+      for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k)
+        dot += (double)data[k] * xs[indices[k]];
+      rs[r] = (bs[r] - (float)dot) * inv_row[r];
+    }
+    std::memset(us, 0, ncol * sizeof(float));
+    for (int64_t r = 0; r < nrow; ++r) {
+      const float yr = rs[r];
+      if (yr == 0.0f) continue;
+      for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k)
+        us[indices[k]] += data[k] * yr;
+    }
+    for (int64_t c = 0; c < ncol; ++c) {
+      const float v = xs[c] + inv_col[c] * us[c];
+      xs[c] = v < 0.0f ? 0.0f : v;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// 3D TV value + TV gradient descent (reference cpu ctvlib.cpp:336-462).
+// Volume layout: (nx, ny, nz) row-major, nx = slice axis. Periodic wrap in
+// all axes, eps = 1e-8 (the CPU engine's value; the GPU kernels use 1e-6).
+// Deviations from the literal reference (documented, intended math kept):
+//   * ctvlib.cpp's `float tv;` / `float tv_norm;` reduction accumulators
+//     are uninitialized (UB) and tv_norm is never reset between the ng
+//     descent steps — we initialize to zero and reset per step.
+//   * ctvlib.cpp:386,391 index `kp = (k+1)%ny` / loop `k < ny` use ny for
+//     the z axis; harmless for the square slices the engine requires
+//     (ny == nz enforced by the wrapper).
+// ---------------------------------------------------------------------------
+double tv_value_3d(const float* x, int64_t nx, int64_t ny, int64_t nz) {
+  const double eps = 1e-8;
+  double tv = 0.0;
+#pragma omp parallel for reduction(+ : tv) schedule(static)
+  for (int64_t i = 0; i < nx; ++i) {
+    const int64_t ip = (i + 1) % nx;
+    for (int64_t j = 0; j < ny; ++j) {
+      const int64_t jp = (j + 1) % ny;
+      for (int64_t k = 0; k < nz; ++k) {
+        const int64_t kp = (k + 1) % nz;
+        const double c = x[(i * ny + j) * nz + k];
+        const double di = c - x[(ip * ny + j) * nz + k];
+        const double dj = c - x[(i * ny + jp) * nz + k];
+        const double dk = c - x[(i * ny + j) * nz + kp];
+        tv += std::sqrt(eps + di * di + dj * dj + dk * dk);
+      }
+    }
+  }
+  return tv;
+}
+
+// ng steps of  x -= dPOCS * grad/||grad||  with the 4-term divided-
+// difference isotropic TV subgradient, then positivity (ctvlib.cpp:406-462
+// intended math; batch of `ns` independent volumes, norm per volume).
+void tv_gd_3d(float* x, int64_t ns, int64_t nx, int64_t ny, int64_t nz,
+              int32_t ng, float dpocs, float* grad_scratch) {
+  const double eps = 1e-8;
+  const int64_t vol = nx * ny * nz;
+  for (int64_t s = 0; s < ns; ++s) {
+    float* xs = x + s * vol;
+    float* g = grad_scratch;
+    for (int32_t it = 0; it < ng; ++it) {
+      double nsq = 0.0;
+#pragma omp parallel for reduction(+ : nsq) schedule(static)
+      for (int64_t i = 0; i < nx; ++i) {
+        const int64_t ip = (i + 1) % nx, im = (i - 1 + nx) % nx;
+        for (int64_t j = 0; j < ny; ++j) {
+          const int64_t jp = (j + 1) % ny, jm = (j - 1 + ny) % ny;
+          for (int64_t k = 0; k < nz; ++k) {
+            const int64_t kp = (k + 1) % nz, km = (k - 1 + nz) % nz;
+            auto at = [&](int64_t a, int64_t b, int64_t c) -> double {
+              return xs[(a * ny + b) * nz + c];
+            };
+            const double c0 = at(i, j, k);
+            const double v1n = 3.0 * c0 - at(ip, j, k) - at(i, jp, k) -
+                               at(i, j, kp);
+            double d;
+            d = c0 - at(ip, j, k);
+            double v1d = d * d;
+            d = c0 - at(i, jp, k);
+            v1d += d * d;
+            d = c0 - at(i, j, kp);
+            v1d += d * d;
+            v1d = std::sqrt(eps + v1d);
+            const double v2n = c0 - at(im, j, k);
+            d = at(im, j, k) - c0;
+            double v2d = d * d;
+            d = at(im, j, k) - at(im, jp, k);
+            v2d += d * d;
+            d = at(im, j, k) - at(im, j, kp);
+            v2d += d * d;
+            v2d = std::sqrt(eps + v2d);
+            const double v3n = c0 - at(i, jm, k);
+            d = at(i, jm, k) - at(ip, jm, k);
+            double v3d = d * d;
+            d = at(i, jm, k) - c0;
+            v3d += d * d;
+            d = at(i, jm, k) - at(i, jm, kp);
+            v3d += d * d;
+            v3d = std::sqrt(eps + v3d);
+            const double v4n = c0 - at(i, j, km);
+            d = at(i, j, km) - at(ip, j, km);
+            double v4d = d * d;
+            d = at(i, j, km) - at(i, jp, km);
+            v4d += d * d;
+            d = at(i, j, km) - c0;
+            v4d += d * d;
+            v4d = std::sqrt(eps + v4d);
+            const double gv = v1n / v1d + v2n / v2d + v3n / v3d + v4n / v4d;
+            g[(i * ny + j) * nz + k] = (float)gv;
+            nsq += gv * gv;
+          }
+        }
+      }
+      const float scale = dpocs / (float)std::sqrt(nsq);
+#pragma omp parallel for schedule(static)
+      for (int64_t p = 0; p < vol; ++p) xs[p] -= scale * g[p];
+    }
+#pragma omp parallel for schedule(static)
+    for (int64_t p = 0; p < vol; ++p)
+      if (xs[p] < 0.0f) xs[p] = 0.0f;
+  }
+}
+
 // Mean-preserving Poisson noise (tomoengine.cpp:471-484 semantics).
 void poisson_noise(float* b, int64_t size, int64_t n_counts, uint64_t seed) {
   double total = 0.0;

@@ -146,7 +146,12 @@ def tv_fgp(x, n_iter: int, lam):
     deliberate quirks (1/(26 lam) dual step, no momentum, nonneg clamp).
 
     Dispatches to the fused Pallas kernels (tv/pallas_fgp.py) on a
-    single-device TPU backend (tomojax.config.tv_impl); identical output.
+    single-device TPU backend (tomojax.config.tv_impl); identical output
+    up to the dual-storage dtype: with the default bf16 duals
+    (config.fgp_dual_dtype) the single-device TPU result differs from the
+    CPU/sharded XLA result by up to ~lam*1e-2 absolute. For strict
+    cross-backend parity set
+    ``tomojax.config.set_tv_impl('auto', dual_dtype='float32')``.
     """
     from tomojax import config as tjconfig
 

@@ -154,8 +154,11 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
 
     dual_dtype (default tomojax.config.fgp_dual_dtype): HBM storage type
     of the dual fields P1..P3 between iterations. The projection keeps
-    |P| <= 1, so bfloat16 storage loses ~2^-9 relative on P — i.e.
-    ~lam*1e-3 absolute on the returned d — while cutting the kernel's HBM
+    |P| <= 1, so bfloat16 storage loses ~2^-9 relative per P component;
+    the divergence sums six such quantized terms and P is re-quantized
+    every iteration, so the worst-case error on the returned d is
+    ~lam*1e-2 absolute (see tests/test_pallas_tv.py::
+    test_fused_bf16_duals_close), while cutting the kernel's HBM
     traffic ~40% (all arithmetic stays f32 in-register). The reference
     kernels are f32 throughout (tv_fgp.cu:44-115); this deviation is a
     TPU perf knob, measured convergence-equivalent on the BASELINE
