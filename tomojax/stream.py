@@ -187,26 +187,34 @@ def poll_multihost(watcher: "TiltWatcher"):
         return watcher.poll()
 
     from jax.experimental import multihost_utils
-    import numpy as np_
 
     new = watcher.poll() if jax.process_index() == 0 else []
-    count = int(
-        multihost_utils.broadcast_one_to_all(np_.int32(len(new)))
-    )
+    # count + per-image rank in one fixed-shape broadcast (the image rank
+    # is not assumed — projections may be (ny, nx) frames or anything a
+    # custom read_fn returns)
+    if jax.process_index() == 0:
+        imgs = (
+            np.stack([im for _, im in new]).astype(np.float32)
+            if new else np.zeros((0, 0), np.float32)
+        )
+        header = np.asarray([len(new), imgs.ndim - 1], np.int64)
+    else:
+        header = np.zeros(2, np.int64)
+    header = multihost_utils.broadcast_one_to_all(header)
+    count, ndim = int(header[0]), int(header[1])
     if count == 0:
         return []
     if jax.process_index() == 0:
-        angles = np_.asarray([a for a, _ in new], np_.float64)
-        imgs = np_.stack([im for _, im in new]).astype(np_.float32)
-        shape = np_.asarray(imgs.shape[1:], np_.int64)
+        angles = np.asarray([a for a, _ in new], np.float64)
+        shape = np.asarray(imgs.shape[1:], np.int64)
     else:
-        shape = np_.zeros(2, np_.int64)
+        shape = np.zeros(ndim, np.int64)
     shape = multihost_utils.broadcast_one_to_all(shape)
     if jax.process_index() != 0:
-        angles = np_.zeros(count, np_.float64)
-        imgs = np_.zeros((count, int(shape[0]), int(shape[1])), np_.float32)
-    angles = np_.asarray(multihost_utils.broadcast_one_to_all(angles))
-    imgs = np_.asarray(multihost_utils.broadcast_one_to_all(imgs))
+        angles = np.zeros(count, np.float64)
+        imgs = np.zeros((count, *(int(s) for s in shape)), np.float32)
+    angles = np.asarray(multihost_utils.broadcast_one_to_all(angles))
+    imgs = np.asarray(multihost_utils.broadcast_one_to_all(imgs))
     return [(float(a), imgs[i]) for i, a in enumerate(angles)]
 
 
