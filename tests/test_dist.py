@@ -191,3 +191,48 @@ def test_uneven_slab_split(mesh):
     assert np.isclose(got, float(tvmod.tv(xp)), rtol=1e-5)
     back = dist.unpad_slices(xs, orig)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_sharded_fusion_4d_sart(mesh):
+    """SART-method fusion step sharded on the slice axis matches the
+    unsharded run (mirrors test_sharded_fusion_4d for the
+    call_sart_data_fusion path, multimodal.hpp:149). The ordered
+    per-angle SART sweep is a lax.scan of per-angle contractions —
+    must lower cleanly under slab sharding too."""
+    from jax.sharding import NamedSharding
+    from tomojax.fusion import (
+        make_fusion_system, weights_for_elements, fp4d, model_haadf,
+        data_fusion_step,
+    )
+    from tomojax.solvers import make_sart_weights
+    from tomojax.projector.joseph import fp as _fp
+
+    n = 24
+    rng = np.random.default_rng(4)
+    gt = jnp.asarray(rng.uniform(0, 1, (2, NS, n, n)), jnp.float32)
+    w = weights_for_elements(["c", "zn"], 1.6, 3)
+    fsys = make_fusion_system(
+        n, np.deg2rad(np.linspace(-70, 70, 10)),
+        np.deg2rad(np.linspace(-60, 60, 5)), w, 1.6,
+    )
+    b_chem = fp4d(gt, fsys.chem)
+    b_h = _fp(model_haadf(gt, fsys), fsys.haadf.geom)
+    sart_w = make_sart_weights(fsys.haadf)
+
+    x0 = jnp.zeros_like(gt)
+    ref, ch_ref, cc_ref = data_fusion_step(
+        x0, b_h, b_chem, fsys, 0.5, 0.05, 2, method="sart",
+        sart_weights=sart_w,
+    )
+
+    sh4 = NamedSharding(mesh, P(None, "z", None, None))
+    got, ch, cc = jax.jit(
+        lambda x, bh, bc: data_fusion_step(
+            x, bh, bc, fsys, 0.5, 0.05, 2, method="sart",
+            sart_weights=sart_w,
+        )
+    )(jax.device_put(x0, sh4), dist.shard_volume(b_h, mesh),
+      jax.device_put(b_chem, sh4))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    assert np.isclose(float(ch), float(ch_ref), rtol=1e-4)
+    assert np.isclose(float(cc), float(cc_ref), rtol=1e-4)

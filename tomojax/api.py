@@ -491,9 +491,15 @@ class ChemicalTomo:
         tvIter: int = 5,
         show_convergence: bool = True,
         normalize_haadf: bool = False,
+        method: str = "sirt",
     ):
         """Fused reconstruction loop (reconstructor.py:182-225), including
         the adaptive lambdaCHEM *= 0.95 decay on HAADF-cost increase.
+
+        method: 'sirt' or 'sart' selects the inner HAADF solver
+        (reference call_sirt_data_fusion / call_sart_data_fusion,
+        multimodal.hpp:148-150; for 'sart' iterSIRT counts ordered
+        full-angle passes and the reference recipe uses 1).
 
         Defaults mirror the reference recipe (tuned on its experimental
         datasets); on differently-scaled data the raw lambdaHAADF step can
@@ -507,10 +513,16 @@ class ChemicalTomo:
 
         from tomojax.fusion.multimodal import tv_fgp_4d
 
+        sart_w = None
+        if method == "sart":
+            from tomojax.solvers import make_sart_weights
+
+            sart_w = make_sart_weights(self.fsys.haadf)
         fuse = jax.jit(
             lambda x, lc: data_fusion_step(
                 x, self.b_haadf, self.b_chem, self.fsys,
                 lambdaHAADF, lc, iterSIRT, normalize_haadf,
+                method=method, sart_weights=sart_w,
             )
         )
         tvstep = jax.jit(lambda x: tv_fgp_4d(x, tvIter, lambdaTV))

@@ -15,6 +15,7 @@ from tomojax.fusion.multimodal import (
     model_haadf,
     poisson_ml_step_4d,
     chemical_sirt_sweep,
+    chemical_sart_sweep,
     data_fusion_step,
     rescale_tomograms,
     rescale_projections,
@@ -34,6 +35,7 @@ __all__ = [
     "model_haadf",
     "poisson_ml_step_4d",
     "chemical_sirt_sweep",
+    "chemical_sart_sweep",
     "data_fusion_step",
     "rescale_tomograms",
     "rescale_projections",

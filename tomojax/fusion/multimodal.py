@@ -28,7 +28,12 @@ import numpy as np
 from tomojax.geometry import Geometry
 from tomojax.projector.joseph import fp, bp
 from tomojax.solvers.base import System, make_system
-from tomojax.solvers.iterative import sirt_sweep, POISSON_EPS
+from tomojax.solvers.iterative import (
+    POISSON_EPS,
+    make_sart_weights,
+    sart_sweep,
+    sirt_sweep,
+)
 from tomojax.fusion.sigma import sigma_apply, sigma_t_apply
 from tomojax import tv as tvmod
 
@@ -128,12 +133,39 @@ def chemical_sirt_sweep(x, b_chem, fsys: FusionSystem, n_iter: int = 1):
     return sirt_sweep(xx, bb, fsys.chem, n_iter).reshape(x.shape)
 
 
+def chemical_sart_sweep(
+    x, b_chem, fsys: FusionSystem, n_iter: int = 1, sart_weights=None
+):
+    """Per-(element, slice) ordered SART on the chem geometry
+    (multimodal.cpp:416-423 chemical_SART: ASTRA SART run(Nproj*nIter),
+    sequential order, min-constraint 0). `sart_weights` = the per-angle
+    inverse column sums (make_sart_weights(fsys.chem)); computed on the
+    fly when omitted — precompute for repeated calls."""
+    if sart_weights is None:
+        sart_weights = make_sart_weights(fsys.chem)
+    nel, ns, n, _ = x.shape
+    xx = x.reshape(nel * ns, n, n)
+    bb = b_chem.reshape(nel * ns, fsys.chem.geom.nproj, fsys.chem.geom.nray)
+    for _ in range(n_iter):
+        xx = sart_sweep(xx, bb, fsys.chem, sart_weights)
+    return xx.reshape(x.shape)
+
+
 def data_fusion_step(
     x, b_haadf, b_chem, fsys: FusionSystem, lam_haadf, lam_chem,
     iter_sirt: int = 5, normalize_haadf: bool = False,
+    method: str = "sirt", sart_weights=None,
 ):
     """One fused HAADF+chemistry update (multimodal.cpp:452-491 with the
-    SIRT inner solver of :425-441). Returns (x, cost_haadf, cost_chem).
+    SIRT/SART inner solver of :425-441 `fuse`). Returns
+    (x, cost_haadf, cost_chem).
+
+    method: 'sirt' (call_sirt_data_fusion, multimodal.hpp:148) runs
+    `iter_sirt` SIRT iterations from the HAADF model h toward bh;
+    'sart' (call_sart_data_fusion, :149 → multimodal.cpp:392-400) runs
+    `iter_sirt` ordered sequential per-angle SART passes (ASTRA
+    run(Nproj*nIter)). For 'sart' pass `sart_weights` =
+    make_sart_weights(fsys.haadf) to avoid recomputing per call.
 
     normalize_haadf: the reference estimates the HAADF-path Lipschitz
     constant L_ASig (multimodal.cpp:263-264) but never applies it — the
@@ -145,8 +177,17 @@ def data_fusion_step(
     xg_pos = jnp.maximum(x, 0.0)
     h = model_haadf(x, fsys)  # (Ns, N, N)
     g = fp(h, fsys.haadf.geom)  # HAADF model projections (pre-update)
-    # HAADF-consistent volume: iter_sirt SIRT iterations from h toward bh
-    u = sirt_sweep(h, b_haadf, fsys.haadf, iter_sirt)
+    # HAADF-consistent volume: iter_sirt inner iterations from h toward bh
+    if method == "sart":
+        if sart_weights is None:
+            sart_weights = make_sart_weights(fsys.haadf)
+        u = h
+        for _ in range(iter_sirt):
+            u = sart_sweep(u, b_haadf, fsys.haadf, sart_weights)
+    elif method == "sirt":
+        u = sirt_sweep(h, b_haadf, fsys.haadf, iter_sirt)
+    else:
+        raise ValueError(f"unknown fusion method {method!r}")
     diff = sigma_t_apply(fsys.weights, u - h, fsys.nel)
     if fsys.gamma == 1.0:
         d_haadf = diff
