@@ -126,6 +126,16 @@ def scaling(max_devices=None, ns=64, n=128, na=45, iters=10):
 
 
 if __name__ == "__main__":
+    if "--cpu" in sys.argv:
+        # The axon sitecustomize forces JAX_PLATFORMS=axon, so the env
+        # var alone cannot select CPU — the config update can (it must
+        # run before first backend use). Pair with
+        # XLA_FLAGS=--xla_force_host_platform_device_count=N for a
+        # virtual mesh.
+        sys.argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if "--scaling" in sys.argv:
         sys.argv.remove("--scaling")
         scaling(*(int(a) for a in sys.argv[1:5]) if len(sys.argv) > 1 else ())

@@ -1,0 +1,131 @@
+"""Zenodo ADF parity recipe — the BASELINE.md north-star workload.
+
+The reference points its users at Zenodo record 8132804 for example ADF
+and spectral tilt series (reference README.md:56); BASELINE.md's parity
+target is FISTA-TV (Niter=50, lambda=0.1, nTViter=10 — the reference's
+default recipe, README.md:41 / demo.ipynb cell 23) on the ADF series,
+matching the reference CUDA implementation's convergence trace.
+
+This container has no network egress, so the dataset cannot be fetched
+here. To run the recipe yourself:
+
+  1. Download the ADF tilt series from https://zenodo.org/records/8132804
+  2. If it is an .h5 with `tiltSeries` + `tiltAngles` datasets (the
+     reference's Tilt_Series convention, pytvlib.py:82-95), pass it
+     directly. A .tiff stack + a .npy/.rawtlt angle file also works
+     (--angles).
+  3. python examples/zenodo_adf.py path/to/adf.h5 --out results/zenodo
+
+Emits:
+  * one JSON line per iteration: {"iter", "dd", "tv", "cost"} — the
+    same scalars the reference computes per iteration
+    (reconstructor.py:152 cost = 0.5*dd^2 + lambda*tv), so a trace
+    recorded from the reference CUDA build (print dd/tv in its fista
+    loop) is directly comparable line-by-line.
+  * a reference-layout results .h5 (parameters + results groups +
+    Reconstruction/recon, pytvlib.py:97-139) via tomojax.io.save_results.
+
+Without a dataset argument the script self-checks the recipe on the
+synthetic 256^3 au_sto-style nanocube phantom (the reference's simulated
+stand-in, cpu/sim_tomo.py:10-11), so the full pipeline is exercisable in
+CI and in this container.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def load_series(path, angles_path=None):
+    from tomojax import io as tio
+
+    if path.endswith(".h5"):
+        return tio.load_h5_data(path)
+    series = tio.load_tilt_series(path)  # (Nslice, Nray, Nangles)
+    if angles_path is None:
+        raise SystemExit("--angles required for non-h5 tilt series")
+    if angles_path.endswith(".npy"):
+        angles = np.load(angles_path).astype(np.float64)
+    else:  # .rawtlt / plain text, one angle per line
+        angles = np.loadtxt(angles_path).astype(np.float64)
+    return series, angles
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset", nargs="?", default=None,
+                    help=".h5 (tiltSeries+tiltAngles) or .tif/.npy series")
+    ap.add_argument("--angles", default=None,
+                    help="angles file (.npy/.rawtlt) for non-h5 input")
+    ap.add_argument("--niter", type=int, default=50)
+    ap.add_argument("--lambda-param", type=float, default=0.1,
+                    dest="lam", help="TV weight (reference default 0.1)")
+    ap.add_argument("--ntviter", type=int, default=10)
+    ap.add_argument("--out", default="results/zenodo_adf")
+    ap.add_argument("--selfcheck-size", type=int, default=64,
+                    help="phantom size when no dataset is given")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from tomojax import TomoTPU, io as tio
+    from tomojax.geometry import Geometry
+    from tomojax.solvers import make_system, fista_init, fista_step
+    from tomojax.projector.joseph import fp
+    from tomojax.sim import nanocube_phantom, create_projections
+
+    if args.dataset:
+        series, angles = load_series(args.dataset, args.angles)
+        print(f"loaded {args.dataset}: series {series.shape}, "
+              f"{len(angles)} angles", file=sys.stderr)
+    else:
+        n = args.selfcheck_size
+        angles = np.linspace(-76, 76, 77)
+        geom = Geometry.make(n, np.deg2rad(angles))
+        vol = nanocube_phantom(n, n)
+        b = np.asarray(create_projections(vol, geom, snr=100))
+        series = np.transpose(b, (0, 2, 1))
+        print(f"selfcheck: synthetic nanocube {series.shape}",
+              file=sys.stderr)
+
+    tomo = TomoTPU(angles, series)
+    st = fista_init(tomo._zeros_volume(), tomo.sys)
+    step = jax.jit(
+        lambda s, bb: fista_step(s, bb, tomo.sys, args.lam, args.ntviter,
+                                 True)
+    )
+    trace = []
+    for k in range(args.niter):
+        st, (cost, dd, tvv) = step(st, tomo.b)
+        row = {"iter": k, "dd": float(dd), "tv": float(tvv),
+               "cost": float(cost)}
+        trace.append(row)
+        print(json.dumps(row))
+    tomo.x = st.x
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    tio.save_results(
+        args.out + ".h5",
+        meta={"alg": "fista", "Niter": args.niter, "lambda": args.lam,
+              "nTViter": args.ntviter,
+              "dataset": args.dataset or "selfcheck-nanocube"},
+        results={
+            "dd": np.asarray([r["dd"] for r in trace], np.float32),
+            "tv": np.asarray([r["tv"] for r in trace], np.float32),
+            "cost": np.asarray([r["cost"] for r in trace], np.float32),
+        },
+        recon=tomo.get_recon(),
+    )
+    print(f"saved {args.out}.h5", file=sys.stderr)
+    # convergence sanity: dd must drop (substantially for a full run)
+    factor = 0.5 if args.niter >= 20 else 1.0
+    assert trace[-1]["dd"] < factor * trace[0]["dd"], (
+        "FISTA-TV did not converge"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -110,3 +110,20 @@ def test_plot_results(tmp_path):
     _run([f"{REPO}/examples/plot_results.py", str(p)], cwd=str(tmp_path))
     assert (tmp_path / "r_dd.png").exists()
     assert (tmp_path / "r_slices.png").exists()
+
+
+def test_zenodo_adf_selfcheck(tmp_path):
+    """The Zenodo parity recipe runs end-to-end in selfcheck mode and
+    emits the per-iteration JSON trace + reference-layout results h5."""
+    import json as _json
+
+    out = _run(
+        [f"{REPO}/examples/zenodo_adf.py", "--niter", "8",
+         "--selfcheck-size", "32", "--out", "zen/out"],
+        cwd=str(tmp_path),
+    )
+    rows = [_json.loads(l) for l in out.strip().splitlines()]
+    assert len(rows) == 8
+    assert rows[-1]["dd"] < rows[0]["dd"]
+    assert {"iter", "dd", "tv", "cost"} <= set(rows[0])
+    assert (tmp_path / "zen/out.h5").exists()

@@ -87,3 +87,36 @@ def test_empty_angles_falls_back():
     finally:
         tjconfig.set_projector_mode(old)
     assert out.shape == (2, 0, 16)
+
+
+def test_shard_map_pallas_matches_unsharded():
+    """shard_map-wrapped per-shard Pallas FP/BP == unsharded kernel on
+    the virtual mesh (the data term is slice-parallel with zero
+    cross-device traffic, so per-shard kernels are legal — reference
+    MPI slabs likewise exchange nothing for FP/BP,
+    mpi_astra_ctvlib.cpp:211-231)."""
+    import jax
+    from tomojax import dist
+    from tomojax.projector.sharded import fp_sharded, bp_sharded
+    from tomojax.projector.pallas_joseph import fp_pallas, bp_pallas
+
+    ns, n, na = 16, 16, 7
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-60, 60, na)))
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((ns, n, n), np.float32))
+    mesh = dist.make_mesh()
+
+    ref = fp_pallas(x, geom, interpret=True)
+    got = jax.jit(lambda v: fp_sharded(v, geom, mesh))(
+        dist.shard_volume(x, mesh)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    y = ref
+    ref_b = bp_pallas(y, geom, interpret=True)
+    got_b = jax.jit(lambda v: bp_sharded(v, geom, mesh))(
+        dist.shard_volume(y, mesh)
+    )
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-5)

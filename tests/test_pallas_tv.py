@@ -102,19 +102,34 @@ def test_fused_bf16_duals_close():
 
 
 def test_fgp_4d_element_batching():
-    """The 4D dispatch maps the fused 3D kernel over the element axis and
-    sums per-element TV (reference chemistry tv_fgp.cu:192-287 semantics:
-    elements never couple)."""
+    """The fused kernel takes 4D input directly: the element axis folds
+    into the pallas grid (reference chemistry tv_fgp.cu:192-287
+    semantics: elements never couple; no per-element kernel chains)."""
     from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
     from tomojax.tv import tv_fgp
 
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(2, 8, 12, 12)).astype(np.float32)) + 0.4
     ref, tv_ref = tv_fgp(x, 5, 0.1)  # XLA 4D path on CPU
-    got, tv0 = jax.lax.map(
-        lambda xe: tv_fgp_pallas_fused(xe, 5, 0.1, interpret=True,
-                                       dual_dtype=jnp.float32), x
-    )
+    got, tv0 = tv_fgp_pallas_fused(x, 5, 0.1, interpret=True,
+                                   dual_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-6, atol=2e-6)
-    np.testing.assert_allclose(float(jnp.sum(tv0)), float(tv_ref), rtol=1e-6)
+    np.testing.assert_allclose(float(tv0), float(tv_ref), rtol=1e-6)
+
+
+def test_fgp_4d_grid_equals_per_element():
+    """4D-grid output == per-element 3D invocations (the element grid
+    axis is pure batching; boundary logic stays within each element)."""
+    from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(3, 8, 12, 12)).astype(np.float32)) + 0.4
+    got, _ = tv_fgp_pallas_fused(x, 6, 0.15, interpret=True,
+                                 dual_dtype=jnp.float32)
+    for e in range(3):
+        ref_e, _ = tv_fgp_pallas_fused(x[e], 6, 0.15, interpret=True,
+                                       dual_dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got[e]), np.asarray(ref_e), rtol=1e-6, atol=1e-6
+        )

@@ -162,7 +162,13 @@ def tv_fgp(x, n_iter: int, lam):
     if x.ndim == 4 and tjconfig.use_pallas_tv():
         # element axis is a pure batch axis for the stencil (reference 4D
         # TV runs the 3D kernels per element and sums the TV value,
-        # chemistry/utils/regularizers/tv_fgp.cu:192-287)
+        # chemistry/utils/regularizers/tv_fgp.cu:192-287). MEASURED
+        # dispatch choice (v5e, Nel=3 x 128x256^2, bf16 duals): lax.map
+        # of per-element kernel chains runs at the HBM roofline
+        # (0.39 ms/iter over the whole stack); folding the element axis
+        # into the pallas grid (tv_fgp_pallas_fused on the 4D array,
+        # grid (nel, nblk)) measured 2.0x SLOWER (0.79 ms/iter) — the
+        # multi-element grid defeats Mosaic's block pipelining. Keep map.
         from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
 
         d, tv0 = jax.lax.map(

@@ -32,14 +32,16 @@ from jax.experimental import pallas as pl
 
 
 def _obj_kernel(lam, x_ref, p1_ref, p1m_ref, p2_ref, p3_ref, d_ref):
-    i = pl.program_id(0)
+    # grid (nel, nz): axis 0 = element batch (TV never couples elements,
+    # chemistry/utils/regularizers/tv_fgp.cu:192-287), axis 1 = z-plane.
+    i = pl.program_id(1)
     f32 = jnp.float32
-    p1 = p1_ref[0].astype(f32)
-    p2 = p2_ref[0].astype(f32)
-    p3 = p3_ref[0].astype(f32)
+    p1 = p1_ref[0, 0].astype(f32)
+    p2 = p2_ref[0, 0].astype(f32)
+    p3 = p3_ref[0, 0].astype(f32)
     n_r, n_c = p2.shape
     # z: p1[i] - p1[i-1] (zero below the low boundary)
-    prev = jnp.where(i == 0, jnp.zeros_like(p1), p1m_ref[0].astype(f32))
+    prev = jnp.where(i == 0, jnp.zeros_like(p1), p1m_ref[0, 0].astype(f32))
     div = p1 - prev
     # y: p2 - p2 shifted down one row
     div += p2 - jnp.concatenate(
@@ -49,17 +51,17 @@ def _obj_kernel(lam, x_ref, p1_ref, p1m_ref, p2_ref, p3_ref, d_ref):
     div += p3 - jnp.concatenate(
         [jnp.zeros((n_r, 1), p3.dtype), p3[:, :-1]], axis=1
     )
-    d_ref[0] = jnp.maximum(x_ref[0] - lam * div, 0.0)
+    d_ref[0, 0] = jnp.maximum(x_ref[0, 0] - lam * div, 0.0)
 
 
 def _grad_kernel(multip, d_ref, dn_ref, p1_ref, p2_ref, p3_ref,
                  o1_ref, o2_ref, o3_ref):
-    i = pl.program_id(0)
-    nz = pl.num_programs(0)
-    d = d_ref[0]
+    i = pl.program_id(1)
+    nz = pl.num_programs(1)
+    d = d_ref[0, 0]
     n_r, n_c = d.shape
     # z forward difference, zero at the far boundary
-    g1 = jnp.where(i == nz - 1, jnp.zeros_like(d), d - dn_ref[0])
+    g1 = jnp.where(i == nz - 1, jnp.zeros_like(d), d - dn_ref[0, 0])
     # y forward difference
     g2 = jnp.concatenate(
         [d[:-1, :] - d[1:, :], jnp.zeros((1, n_c), d.dtype)], axis=0
@@ -68,14 +70,14 @@ def _grad_kernel(multip, d_ref, dn_ref, p1_ref, p2_ref, p3_ref,
     g3 = jnp.concatenate(
         [d[:, :-1] - d[:, 1:], jnp.zeros((n_r, 1), d.dtype)], axis=1
     )
-    p1 = p1_ref[0] + multip * g1
-    p2 = p2_ref[0] + multip * g2
-    p3 = p3_ref[0] + multip * g3
+    p1 = p1_ref[0, 0] + multip * g1
+    p2 = p2_ref[0, 0] + multip * g2
+    p3 = p3_ref[0, 0] + multip * g3
     denom = p1 * p1 + p2 * p2 + p3 * p3
     scale = jnp.where(denom > 1.0, jax.lax.rsqrt(denom), 1.0)
-    o1_ref[0] = p1 * scale
-    o2_ref[0] = p2 * scale
-    o3_ref[0] = p3 * scale
+    o1_ref[0, 0] = p1 * scale
+    o2_ref[0, 0] = p2 * scale
+    o3_ref[0, 0] = p3 * scale
 
 
 def _fused_kernel(lam, multip, pb, nz, x_ref, xn_ref, p1_ref, p1p_ref,
@@ -83,17 +85,26 @@ def _fused_kernel(lam, multip, pb, nz, x_ref, xn_ref, p1_ref, p1p_ref,
                   o1_ref, o2_ref, o3_ref):
     """One full FGP iteration (obj + grad + projection) for a PB-plane
     block, with the obj field d recomputed in registers — halves the HBM
-    traffic vs the two-pass formulation (d never round-trips)."""
-    i = pl.program_id(0)
-    nblk = pl.num_programs(0)
+    traffic vs the two-pass formulation (d never round-trips).
+
+    Grid (nel, nblk): the element axis is a pure batch axis folded into
+    the kernel grid (the reference's 4D TV runs the 3D kernels per
+    element, chemistry tv_fgp.cu:192-287). MEASURED: multi-element
+    grids run 2.0x slower than lax.map-ed per-element chains (0.79 vs
+    0.39 ms/iter at Nel=3 x 128x256^2 on v5e — the nel>1 grid defeats
+    Mosaic's block pipelining), so the tv_fgp dispatch maps over
+    elements; the 4D capability remains for callers that want a single
+    launch."""
+    i = pl.program_id(1)
+    nblk = pl.num_programs(1)
     f32 = jnp.float32
-    xx = jnp.concatenate([x_ref[:], xn_ref[:]], axis=0)  # planes gz..gz+PB
-    p2 = jnp.concatenate([p2_ref[:], p2n_ref[:]], axis=0).astype(f32)
-    p3 = jnp.concatenate([p3_ref[:], p3n_ref[:]], axis=0).astype(f32)
+    xx = jnp.concatenate([x_ref[0], xn_ref[0]], axis=0)  # planes gz..gz+PB
+    p2 = jnp.concatenate([p2_ref[0], p2n_ref[0]], axis=0).astype(f32)
+    p3 = jnp.concatenate([p3_ref[0], p3n_ref[0]], axis=0).astype(f32)
     # p1 planes i*PB-1 .. i*PB+PB; the gz=-1 plane (clamped copy) is zeroed
     # to give the reference's zero-divergence low boundary.
     p1f = jnp.concatenate(
-        [p1p_ref[:], p1_ref[:], p1n_ref[:]], axis=0
+        [p1p_ref[0], p1_ref[0], p1n_ref[0]], axis=0
     ).astype(f32)
     zidx = jax.lax.broadcasted_iota(jnp.int32, (pb + 2, 1, 1), 0)
     p1f = jnp.where((i == 0) & (zidx == 0), 0.0, p1f)
@@ -127,9 +138,9 @@ def _fused_kernel(lam, multip, pb, nz, x_ref, xn_ref, p1_ref, p1p_ref,
     p3 = p3[:-1] + multip * g3
     denom = p1 * p1 + p2 * p2 + p3 * p3
     scale = jnp.where(denom > 1.0, jax.lax.rsqrt(denom), 1.0)
-    o1_ref[:] = (p1 * scale).astype(o1_ref.dtype)
-    o2_ref[:] = (p2 * scale).astype(o2_ref.dtype)
-    o3_ref[:] = (p3 * scale).astype(o3_ref.dtype)
+    o1_ref[0] = (p1 * scale).astype(o1_ref.dtype)
+    o2_ref[0] = (p2 * scale).astype(o2_ref.dtype)
+    o3_ref[0] = (p3 * scale).astype(o3_ref.dtype)
 
 
 def _fused_plane_block(nz: int) -> int:
@@ -163,11 +174,20 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
     kernels are f32 throughout (tv_fgp.cu:44-115); this deviation is a
     TPU perf knob, measured convergence-equivalent on the BASELINE
     FISTA-TV problem (see config.py).
+
+    Accepts (nz, ny, nx) or (nel, nz, ny, nx): the element axis folds
+    into the kernel grid as a pure batch dimension. For 4D input tv0 is
+    the summed per-element TV (the reference's 4D return, chemistry
+    tv_fgp.cu:278-287). NOTE the measured caveat in _fused_kernel's
+    docstring: nel>1 grids are 2x slower than lax.map-ed per-element
+    calls on v5e, so the default tv_fgp dispatch maps over elements.
     """
     from tomojax import tv as tvmod
     from tomojax import config as tjconfig
 
-    nz, ny, nx = x.shape
+    squeeze = x.ndim == 3
+    x4 = x[None] if squeeze else x
+    nel, nz, ny, nx = x4.shape
     pb = _fused_plane_block(nz)
     tv0 = tvmod.tv(x)
     lam = float(lam)
@@ -175,20 +195,21 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
     if dual_dtype is None:
         dual_dtype = tjconfig.fgp_dual_dtype
     dual_dtype = jnp.dtype(dual_dtype)
-    shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
-    dshape = jax.ShapeDtypeStruct(x.shape, dual_dtype)
+    shape = jax.ShapeDtypeStruct(x4.shape, x4.dtype)
+    dshape = jax.ShapeDtypeStruct(x4.shape, dual_dtype)
     nblk = nz // pb
 
-    blk = pl.BlockSpec((pb, ny, nx), lambda i: (i, 0, 0))
+    blk = pl.BlockSpec((1, pb, ny, nx), lambda e, i: (e, i, 0, 0))
     plane_prev = pl.BlockSpec(
-        (1, ny, nx), lambda i: (jnp.maximum(i * pb - 1, 0), 0, 0)
+        (1, 1, ny, nx), lambda e, i: (e, jnp.maximum(i * pb - 1, 0), 0, 0)
     )
     plane_next = pl.BlockSpec(
-        (1, ny, nx), lambda i: (jnp.minimum(i * pb + pb, nz - 1), 0, 0)
+        (1, 1, ny, nx),
+        lambda e, i: (e, jnp.minimum(i * pb + pb, nz - 1), 0, 0),
     )
     fused = pl.pallas_call(
         partial(_fused_kernel, lam, multip, pb, nz),
-        grid=(nblk,),
+        grid=(nel, nblk),
         in_specs=[blk, plane_next, blk, plane_prev, plane_next, blk,
                   plane_next, blk, plane_next],
         out_specs=(blk, blk, blk),
@@ -196,13 +217,13 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
         interpret=interpret,
     )
 
-    spec = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0))
+    spec = pl.BlockSpec((1, 1, ny, nx), lambda e, i: (e, i, 0, 0))
     spec_prev = pl.BlockSpec(
-        (1, ny, nx), lambda i: (jnp.maximum(i - 1, 0), 0, 0)
+        (1, 1, ny, nx), lambda e, i: (e, jnp.maximum(i - 1, 0), 0, 0)
     )
     obj = pl.pallas_call(
         partial(_obj_kernel, lam),
-        grid=(nz,),
+        grid=(nel, nz),
         in_specs=[spec, spec, spec_prev, spec, spec],
         out_specs=spec,
         out_shape=shape,
@@ -211,12 +232,12 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
 
     def body(_, carry):
         p1, p2, p3 = carry
-        return fused(x, x, p1, p1, p1, p2, p2, p3, p3)
+        return fused(x4, x4, p1, p1, p1, p2, p2, p3, p3)
 
-    z = jnp.zeros(x.shape, dual_dtype)
+    z = jnp.zeros(x4.shape, dual_dtype)
     p1, p2, p3 = jax.lax.fori_loop(0, n_iter - 1, body, (z, z, z))
-    d = obj(x, p1, p1, p2, p3)
-    return d, tv0
+    d = obj(x4, p1, p1, p2, p3)
+    return (d[0] if squeeze else d), tv0
 
 
 def tv_fgp_pallas(x, n_iter: int, lam, interpret: bool = False):
@@ -227,21 +248,22 @@ def tv_fgp_pallas(x, n_iter: int, lam, interpret: bool = False):
     from tomojax import tv as tvmod
 
     nz, ny, nx = x.shape
+    x4 = x[None]  # kernels are written for the (nel, nz, ny, nx) grid
     tv0 = tvmod.tv(x)
     lam = float(lam)
     multip = 1.0 / (26.0 * lam)
-    spec = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0))
+    spec = pl.BlockSpec((1, 1, ny, nx), lambda e, i: (e, i, 0, 0))
     spec_prev = pl.BlockSpec(
-        (1, ny, nx), lambda i: (jnp.maximum(i - 1, 0), 0, 0)
+        (1, 1, ny, nx), lambda e, i: (e, jnp.maximum(i - 1, 0), 0, 0)
     )
     spec_next = pl.BlockSpec(
-        (1, ny, nx), lambda i: (jnp.minimum(i + 1, nz - 1), 0, 0)
+        (1, 1, ny, nx), lambda e, i: (e, jnp.minimum(i + 1, nz - 1), 0, 0)
     )
-    shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    shape = jax.ShapeDtypeStruct(x4.shape, x4.dtype)
 
     obj = pl.pallas_call(
         partial(_obj_kernel, lam),
-        grid=(nz,),
+        grid=(1, nz),
         in_specs=[spec, spec, spec_prev, spec, spec],
         out_specs=spec,
         out_shape=shape,
@@ -249,7 +271,7 @@ def tv_fgp_pallas(x, n_iter: int, lam, interpret: bool = False):
     )
     grad = pl.pallas_call(
         partial(_grad_kernel, multip),
-        grid=(nz,),
+        grid=(1, nz),
         in_specs=[spec, spec_next, spec, spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=(shape, shape, shape),
@@ -258,12 +280,13 @@ def tv_fgp_pallas(x, n_iter: int, lam, interpret: bool = False):
 
     def body(_, carry):
         d, p1, p2, p3 = carry
-        d = obj(x, p1, p1, p2, p3)
+        d = obj(x4, p1, p1, p2, p3)
         p1, p2, p3 = grad(d, d, p1, p2, p3)
         return d, p1, p2, p3
 
-    z = jnp.zeros_like(x)
+    z = jnp.zeros_like(x4)
     d, p1, p2, p3 = jax.lax.fori_loop(0, n_iter, body, (z, z, z, z))
+    d = d[0]
     # d is the output of the last iteration's Obj+clamp pass, which is what
     # the reference returns (tv_fgp.cu:272 — the trailing grad/projection
     # only modifies P).
