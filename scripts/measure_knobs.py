@@ -19,16 +19,29 @@ import time
 import numpy as np
 
 
-def timed(fn, *args, iters=20):
+def timed(fn, x, x2, iters=5):
+    """Slope-time a self-chained fn. The axon server caches identical
+    (executable, inputs) calls and block_until_ready alone does not
+    materialize remote arrays, so: chain (feed outputs back), time on a
+    DIFFERENT input than the warm-up, materialize with a scalar sum."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def chain(v, k):
+        for _ in range(k):
+            v = fn(v)
+        return jnp.sum(v)
+
+    c1 = jax.jit(lambda v: chain(v, 1))
+    ck = jax.jit(lambda v: chain(v, 1 + iters))
+    float(c1(x)), float(ck(x))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3, out
+    float(c1(x2))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(ck(x2))
+    tk = time.perf_counter() - t0
+    return (tk - t1) / iters * 1e3, fn(x2)
 
 
 def fista_rmse(ns, n, na, iters=20):
@@ -67,17 +80,14 @@ def main():
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((n, n, n), np.float32))
+    x2 = jnp.asarray(rng.random((n, n, n), np.float32))
     lam = 0.1
 
     # --- fgp_dual_dtype -----------------------------------------------
-    f32 = jax.jit(
-        lambda v: tv_fgp_pallas_fused(v, 10, lam, dual_dtype=jnp.float32)[0]
-    )
-    bf16 = jax.jit(
-        lambda v: tv_fgp_pallas_fused(v, 10, lam, dual_dtype=jnp.bfloat16)[0]
-    )
-    ms32, d32 = timed(f32, x)
-    ms16, d16 = timed(bf16, x)
+    f32 = lambda v: tv_fgp_pallas_fused(v, 10, lam, dual_dtype=jnp.float32)[0]
+    bf16 = lambda v: tv_fgp_pallas_fused(v, 10, lam, dual_dtype=jnp.bfloat16)[0]
+    ms32, d32 = timed(f32, x, x2)
+    ms16, d16 = timed(bf16, x, x2)
     err = float(jnp.max(jnp.abs(d32 - d16)))
     print(
         f"fgp_dual_dtype: f32 {ms32/10:.3f} ms/iter, bf16 {ms16/10:.3f} "
