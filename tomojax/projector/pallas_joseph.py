@@ -30,10 +30,13 @@ angle-block / row-block — ~0.8 GB total at 256^3 x 90 instead of the
 the measured convergence-parity argument; HIGH is emulated as a bf16
 split since Mosaic only lowers DEFAULT/HIGHEST).
 
-Measured (v5e, 256^3 x 90, f32): FP+BP averages 4.8 ms/op at DEFAULT,
+Measured (v5e, 256^3 x 90, f32): FP 4.7 ms / BP 3.9 ms at DEFAULT with
+the tuned block defaults (a_blk=16, rb=32 — an A/B on the full FISTA
+step reads 18.1 vs 18.8 ms/iter against the round-1 a_blk=8/rb=8),
 13.1 ms at HIGH-split, 25.2 ms at HIGHEST vs the XLA 'mxu' scan's
-8.3 / 16.2 / 26.8 ms; full FISTA-TV iteration 35.5 ms vs 71.4 ms
-(DEFAULT vs mxu/HIGH) with rmse@20iter equal to 2e-6.
+8.3 / 16.2 / 26.8 ms; rmse@20iter equal to 2e-6. Cost decomposition and
+the banded-sparsity bound are recorded in docs/ARCHITECTURE.md
+("Banded-projector roofline experiment").
 
 Angle/slice counts are padded to block multiples; padded angles get
 1/D = 0 so every padded weight is exactly zero (no masking needed), and
@@ -158,7 +161,7 @@ def _fp_kernel(n, nray, prec, cos_ref, sin_ref, invd_ref, img_ref, out_ref):
     out_ref[:] += contrib.reshape(a_blk, nray, s_blk)
 
 
-def fp_pallas(x, geom: Geometry, precision=None, a_blk: int = 8,
+def fp_pallas(x, geom: Geometry, precision=None, a_blk: int = 16,
               interpret: bool = False):
     """Forward projection A x : (Ns, N, N) -> (Ns, Nproj, Nray)."""
     ns, n, _ = x.shape
@@ -218,7 +221,7 @@ def _bp_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref, out_ref):
     out_ref[:] += contrib.reshape(rb, n, s_blk)
 
 
-def bp_pallas(y, geom: Geometry, precision=None, rb: int = 8,
+def bp_pallas(y, geom: Geometry, precision=None, rb: int = 32,
               interpret: bool = False):
     """Matched backprojection A^T y : (Ns, Nproj, Nray) -> (Ns, N, N)."""
     ns, na, nray = y.shape
