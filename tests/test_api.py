@@ -154,3 +154,38 @@ def test_chemical_tomo_api():
     assert np.isfinite(rec).all()
     per = ct.rmse_per_element(np.zeros_like(rec))
     assert per.shape == (2,)
+
+
+def test_update_projection_angles():
+    """TomoTPU dynamic angle growth (tomoengine.cpp:130-149): re-binds
+    geometry + data, keeps the reconstruction as a warm start, and the
+    next solve runs on the grown angle set."""
+    from tomojax.sim import shepp_logan, create_projections
+    from tomojax.geometry import Geometry
+
+    n, ns = 32, 2
+    gt = np.stack([shepp_logan(n)] * ns).astype(np.float32)
+    a1 = np.linspace(-60, 60, 8)
+    g1 = Geometry.make(n, np.deg2rad(a1))
+    b1 = np.asarray(create_projections(gt, g1))
+    tomo = TomoTPU(a1, np.transpose(b1, (0, 2, 1)))
+    tomo.sirt(5, show_convergence=False)
+    x_warm = tomo.x
+
+    a2 = np.linspace(-60, 60, 12)
+    g2 = Geometry.make(n, np.deg2rad(a2))
+    b2 = np.asarray(create_projections(gt, g2))
+    tomo.update_projection_angles(a2, np.transpose(b2, (0, 2, 1)))
+    assert tomo.Nangles == 12
+    assert np.shares_memory(np.asarray(tomo.x), np.asarray(x_warm)) or bool(
+        jnp.all(tomo.x == x_warm)
+    )
+    d0 = tomo.data_distance()
+    tomo.x = tomo.x  # keep warm start; run more iterations manually
+    from tomojax.solvers import sirt_sweep
+    import jax
+
+    step = jax.jit(lambda x, b: sirt_sweep(x, b, tomo.sys, 1))
+    for _ in range(5):
+        tomo.x = step(tomo.x, tomo.b)
+    assert tomo.data_distance() < d0

@@ -97,3 +97,33 @@ def test_native_vs_jax_projector():
     p_jax = np.asarray(jfp(jnp.asarray(ph), geom))
     rel = np.linalg.norm(p_native - p_jax) / np.linalg.norm(p_native)
     assert rel < 1e-2, rel
+
+
+def test_update_proj_angles():
+    """Dynamic operator growth (ctvlib.cpp:317-333): new angles extend
+    A/b; existing measurement rows survive when the old angle set is a
+    prefix of the new one."""
+    import numpy as np
+    from tomojax.native import CpuEngine
+    from tomojax.sim import shepp_logan
+
+    gt = np.stack([shepp_logan(32)] * 2).astype(np.float32)
+    a1 = np.linspace(-60, 60, 10)
+    e = CpuEngine(2, 32, a1)
+    e.set_recon(gt)
+    b1 = e.fp()
+    e.b = b1.copy()
+    nrow1 = e.nrow
+
+    a2 = np.concatenate([a1, [65.0, 70.0]])
+    e.update_proj_angles(a2)
+    assert e.nrow > nrow1
+    assert np.array_equal(e.b[:, :nrow1], b1)
+    assert np.all(e.b[:, nrow1:] == 0)
+    # solver still converges with the grown operator once data arrives
+    e.set_recon(gt)
+    e.b = e.fp()
+    e.set_recon(np.zeros_like(gt))
+    d0 = e.data_distance()
+    e.sirt_astra(5)
+    assert e.data_distance() < 0.7 * d0

@@ -133,3 +133,23 @@ def test_fgp_4d_grid_equals_per_element():
         np.testing.assert_allclose(
             np.asarray(got[e]), np.asarray(ref_e), rtol=1e-6, atol=1e-6
         )
+
+
+@pytest.mark.parametrize("iters", [3, 4, 5, 9])
+@pytest.mark.parametrize("shape", [(8, 16, 16), (12, 16, 16)])
+def test_fused2_matches_xla(iters, shape):
+    """The two-iterations-per-pass kernel (intermediate duals in
+    registers) reproduces the XLA stencil FGP exactly at f32 duals, for
+    odd and even iteration counts and across block boundaries."""
+    from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
+    from tomojax.tv import tv_fgp
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32)) + 0.5
+    ref, tv_ref = tv_fgp(x, iters, 0.2)
+    got, tv_got = tv_fgp_pallas_fused(x, iters, 0.2, interpret=True,
+                                      dual_dtype=jnp.float32,
+                                      fuse_pairs=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-6, atol=3e-6)
+    np.testing.assert_allclose(float(tv_got), float(tv_ref), rtol=1e-6)

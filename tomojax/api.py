@@ -81,6 +81,12 @@ class TomoTPU:
         self.mesh = mesh if mesh is not None else (
             dist.make_mesh() if use_mesh or jax.device_count() > 1 else None
         )
+        # register for sharded-pallas projector dispatch (config.active_mesh
+        # is process-global; the most recently constructed reconstructor
+        # wins — matches the one-experiment-at-a-time usage pattern)
+        from tomojax import config as _tjconfig
+
+        _tjconfig.set_mesh(self.mesh)
         self.tilt_angles = np.asarray(tilt_angles, np.float64)
         self.recon = None
         self.cost = None
@@ -120,6 +126,21 @@ class TomoTPU:
     def restart_recon(self):
         self.x = self._zeros_volume()
         self.recon = None
+
+    def update_projection_angles(self, tilt_angles, tilt_series):
+        """Dynamic-acquisition operator growth (reference
+        tomoengine.cpp:130-149 rebuilds ASTRA geometry objects; here the
+        angle set is just static metadata on a fresh Geometry, so this
+        re-binds geometry + data and the next solver call jit-compiles
+        for the new angle count — use stream.DynamicReconstructor's
+        bucketing to bound recompiles in tight acquisition loops).
+        The current reconstruction is kept as the warm start."""
+        x_prev, ns_prev = self.x, getattr(self, "Nslice", None)
+        self.tilt_angles = np.asarray(tilt_angles, np.float64)
+        self.set_tilt_series(tilt_series)
+        if x_prev is not None and ns_prev == self.Nslice:
+            self.x = x_prev  # same volume extent: warm start
+        return self
 
     # -------------------------------------------------------- algorithms --
 
@@ -411,6 +432,9 @@ class ChemicalTomo:
         self.gamma, self.sigmaMethod = gamma, sigmaMethod
         self.reduceLambda = True
         self.mesh = mesh
+        from tomojax import config as _tjconfig
+
+        _tjconfig.set_mesh(mesh)
 
         # normalize + reshape (reconstructor.py:94-137)
         h = np.maximum(np.asarray(haadf, np.float32), 0)

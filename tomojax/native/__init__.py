@@ -230,6 +230,35 @@ class CpuEngine:
                                    sr, sc)
         return self
 
+    def update_proj_angles(self, angles_deg):
+        """Grow/replace the measurement operator for a new angle set
+        (dynamic acquisition; ctvlib.cpp:317-333 rebuilds/extends the
+        sparse A and re-derives weights). Existing measurement rows are
+        preserved for angles that stay prefix-identical; b is resized to
+        the new row count (new rows zero until data arrives)."""
+        old_b, old_nrow = self.b, self.nrow
+        old_angles = self.angles
+        self.angles = np.asarray(angles_deg, np.float64).reshape(-1)
+        self.A = ray_matrix(self.n, self.angles)
+        self.nrow, self.ncol = self.A.shape
+        self._indptr = np.ascontiguousarray(self.A.indptr, np.int64)
+        self._indices = np.ascontiguousarray(self.A.indices, np.int64)
+        self._data = np.ascontiguousarray(self.A.data, np.float32)
+        self._row_nsq = np.empty(self.nrow, np.float32)
+        lib().csr_row_norms_sq(self._indptr, self._data, self.nrow,
+                               self._row_nsq)
+        for attr in ("_inv_row", "_inv_col"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        ones = np.ones((1, self.ncol), np.float32)
+        self.lipschitz = float(self.bp(self.fp(ones)).max())
+        self.b = np.zeros((self.nslice, self.nrow), np.float32)
+        n_keep = min(len(old_angles), len(self.angles))
+        if np.array_equal(old_angles[:n_keep], self.angles[:n_keep]):
+            keep = min(old_nrow, self.nrow)
+            self.b[:, :keep] = old_b[:, :keep]
+        return self
+
     # ------------------------------------------------------------- TV --
     def tv(self) -> float:
         """Isotropic TV value, periodic BCs, eps=1e-8 (ctvlib.cpp:336-367

@@ -185,10 +185,27 @@ def _fp_branch_mxu(x, cosv, sinv, row_driven: bool, nray: int):
     return (acc * scale[:, None, None]).transpose(2, 0, 1)
 
 
+def _sharded_mesh_for(batch: int):
+    """The registered slab mesh, when per-shard pallas dispatch applies:
+    multi-device mesh + slice axis divisible by it (jit would otherwise
+    have to reshard; non-divisible batches take the mxu path)."""
+    mesh = tjconfig.active_mesh
+    if mesh is not None and mesh.size > 1 and batch % mesh.size == 0:
+        return mesh
+    return None
+
+
 def _fp_impl(x, geom: Geometry, mode: str | None = None):
     """Forward projection: (Ns, N, N) -> (Ns, Nproj, Nray)."""
     mode = tjconfig.resolve_projector_mode(mode)
     if mode == "pallas" and geom.nproj > 0:
+        mesh = _sharded_mesh_for(x.shape[0])
+        if mesh is not None:
+            from tomojax.projector.sharded import fp_sharded
+
+            return fp_sharded(x, geom, mesh)
+        if tjconfig.active_mesh is not None and tjconfig.active_mesh.size > 1:
+            return _fp_impl(x, geom, "mxu")  # non-divisible batch
         from tomojax.projector.pallas_joseph import fp_pallas
 
         return fp_pallas(x, geom, interpret=jax.default_backend() == "cpu")
@@ -315,6 +332,13 @@ def bp(y, geom: Geometry, mode: str | None = None):
     """Matched backprojection A^T y : (Ns, Nproj, Nray) -> (Ns, N, N)."""
     mode = tjconfig.resolve_projector_mode(mode)
     if mode == "pallas" and geom.nproj > 0:
+        mesh = _sharded_mesh_for(y.shape[0])
+        if mesh is not None:
+            from tomojax.projector.sharded import bp_sharded
+
+            return bp_sharded(y, geom, mesh)
+        if tjconfig.active_mesh is not None and tjconfig.active_mesh.size > 1:
+            return _bp_mxu(y, geom)  # non-divisible batch
         from tomojax.projector.pallas_joseph import bp_pallas
 
         return bp_pallas(y, geom, interpret=jax.default_backend() == "cpu")

@@ -143,6 +143,105 @@ def _fused_kernel(lam, multip, pb, nz, x_ref, xn_ref, p1_ref, p1p_ref,
     o3_ref[0] = (p3 * scale).astype(o3_ref.dtype)
 
 
+def _bdiff_y(p):
+    """In-plane backward difference along rows, zero row below the low
+    boundary (tv_fgp.cu:56-62). p: (planes, ny, nx)."""
+    return p - jnp.concatenate(
+        [jnp.zeros((p.shape[0], 1, p.shape[2]), p.dtype), p[:, :-1, :]],
+        axis=1,
+    )
+
+
+def _bdiff_x(p):
+    return p - jnp.concatenate(
+        [jnp.zeros((p.shape[0], p.shape[1], 1), p.dtype), p[:, :, :-1]],
+        axis=2,
+    )
+
+
+def _fdiff_y(d):
+    return jnp.concatenate(
+        [d[:, :-1, :] - d[:, 1:, :],
+         jnp.zeros((d.shape[0], 1, d.shape[2]), d.dtype)], axis=1,
+    )
+
+
+def _fdiff_x(d):
+    return jnp.concatenate(
+        [d[:, :, :-1] - d[:, :, 1:],
+         jnp.zeros((d.shape[0], d.shape[1], 1), d.dtype)], axis=2,
+    )
+
+
+def _fused2_kernel(lam, multip, pb, nz,
+                   xp_ref, xb_ref, xn_ref, xn2_ref,
+                   p1p2_ref, p1p_ref, p1b_ref, p1n_ref, p1n2_ref,
+                   p2p_ref, p2b_ref, p2n_ref, p2n2_ref,
+                   p3p_ref, p3b_ref, p3n_ref, p3n2_ref,
+                   o1_ref, o2_ref, o3_ref):
+    """TWO full FGP iterations per HBM pass. The intermediate duals P^1
+    live only in registers (f32, never quantized or written back), so
+    vs two single-iteration passes this halves the dual-field HBM
+    round-trips at the cost of 2-deep z-halos. Boundary semantics are
+    the reference's exactly (zero divergence below z=0, zero forward
+    difference at z=nz-1, nonneg clamp, isotropic dual projection) at
+    BOTH iterations."""
+    i = pl.program_id(1)
+    nblk = pl.num_programs(1)
+    f32 = jnp.float32
+    gz = i * pb
+
+    def glue(*refs):
+        return jnp.concatenate([r[0] for r in refs], axis=0)
+
+    # x planes [gz-1 .. gz+pb+1]  (pb+3)
+    xf = glue(xp_ref, xb_ref, xn_ref, xn2_ref)
+    # P planes: p1 [gz-2 .. gz+pb+1] (pb+4); p2/p3 [gz-1 .. gz+pb+1] (pb+3)
+    p1f = glue(p1p2_ref, p1p_ref, p1b_ref, p1n_ref, p1n2_ref).astype(f32)
+    p2f = glue(p2p_ref, p2b_ref, p2n_ref, p2n2_ref).astype(f32)
+    p3f = glue(p3p_ref, p3b_ref, p3n_ref, p3n2_ref).astype(f32)
+
+    # zero the clamped below-domain copies (global plane index < 0)
+    z1 = jax.lax.broadcasted_iota(jnp.int32, (pb + 4, 1, 1), 0) + (gz - 2)
+    p1f = jnp.where(z1 < 0, 0.0, p1f)
+
+    # ---- iteration 1: d1 on [gz-1 .. gz+pb+1] ---------------------------
+    div1 = (p1f[1:] - p1f[:-1]) + _bdiff_y(p2f) + _bdiff_x(p3f)
+    d1 = jnp.maximum(xf - lam * div1, 0.0)  # (pb+3, ny, nx)
+
+    # P^1 on [gz-1 .. gz+pb]  (pb+2 planes)
+    g1z = d1[:-1] - d1[1:]
+    zg = jax.lax.broadcasted_iota(jnp.int32, (pb + 2, 1, 1), 0) + (gz - 1)
+    g1z = jnp.where(zg == nz - 1, 0.0, g1z)
+    db = d1[:-1]  # planes [gz-1 .. gz+pb]
+    p1n = p1f[1:-1] + multip * g1z
+    p2n = p2f[:-1] + multip * _fdiff_y(db)
+    p3n = p3f[:-1] + multip * _fdiff_x(db)
+    den = p1n * p1n + p2n * p2n + p3n * p3n
+    sc = jnp.where(den > 1.0, jax.lax.rsqrt(den), 1.0)
+    p1n, p2n, p3n = p1n * sc, p2n * sc, p3n * sc
+    # boundary for iteration 2's divergence: P^1 below z=0 is zero
+    p1n = jnp.where(zg < 0, 0.0, p1n)
+
+    # ---- iteration 2: d2 on [gz .. gz+pb]  (pb+1 planes) ----------------
+    div2 = (p1n[1:] - p1n[:-1]) + _bdiff_y(p2n[1:]) + _bdiff_x(p3n[1:])
+    d2 = jnp.maximum(xf[1:pb + 2] - lam * div2, 0.0)
+
+    # P^2 on [gz .. gz+pb)  (pb output planes)
+    g2z = d2[:-1] - d2[1:]
+    zo = jax.lax.broadcasted_iota(jnp.int32, (pb, 1, 1), 0) + gz
+    g2z = jnp.where(zo == nz - 1, 0.0, g2z)
+    db2 = d2[:-1]
+    q1 = p1n[1:-1] + multip * g2z
+    q2 = p2n[1:-1] + multip * _fdiff_y(db2)
+    q3 = p3n[1:-1] + multip * _fdiff_x(db2)
+    den = q1 * q1 + q2 * q2 + q3 * q3
+    sc = jnp.where(den > 1.0, jax.lax.rsqrt(den), 1.0)
+    o1_ref[0] = (q1 * sc).astype(o1_ref.dtype)
+    o2_ref[0] = (q2 * sc).astype(o2_ref.dtype)
+    o3_ref[0] = (q3 * sc).astype(o3_ref.dtype)
+
+
 def _fused_plane_block(nz: int) -> int:
     # 4 planes/block fits the 16 MB scoped-VMEM budget at 256^2 planes
     # (8 planes exceeds it: 16.5M > 16M on v5e).
@@ -153,7 +252,7 @@ def _fused_plane_block(nz: int) -> int:
 
 
 def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
-                        dual_dtype=None):
+                        dual_dtype=None, fuse_pairs: bool = False):
     """FGP with the obj+grad passes fused into one kernel per iteration.
 
     Exact reformulation of `tv_fgp_pallas` (equal to f32 rounding;
@@ -234,8 +333,60 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
         p1, p2, p3 = carry
         return fused(x4, x4, p1, p1, p1, p2, p2, p3, p3)
 
-    z = jnp.zeros(x4.shape, dual_dtype)
-    p1, p2, p3 = jax.lax.fori_loop(0, n_iter - 1, body, (z, z, z))
+    # two-iterations-per-pass kernel: halves the dual-field HBM traffic
+    # (the intermediate duals stay f32 in registers) at the cost of
+    # 2-deep z-halos. MEASURED SLOWER on v5e at 256^3 bf16 duals
+    # (0.449 vs 0.379 ms/iter): the 17 separate block-input pipelines
+    # cost more than the halved dual traffic saves — the single-iteration
+    # kernel is already at the HBM roofline. Kept opt-in (fuse_pairs=True)
+    # so the measured attempt is reproducible; gated by a VMEM estimate
+    # (inputs + outputs, double-buffered) against the 16 MB budget.
+    plane = ny * nx
+    vmem2 = 2 * plane * (
+        (pb + 3) * 4 + (3 * pb + 10) * dual_dtype.itemsize
+        + 3 * pb * dual_dtype.itemsize
+    )
+    m = n_iter - 1
+    use2 = fuse_pairs and m >= 2 and vmem2 < 12 * 2**20
+    if use2:
+        plane_prev2 = pl.BlockSpec(
+            (1, 1, ny, nx),
+            lambda e, i: (e, jnp.maximum(i * pb - 2, 0), 0, 0),
+        )
+        plane_next2 = pl.BlockSpec(
+            (1, 1, ny, nx),
+            lambda e, i: (e, jnp.minimum(i * pb + pb + 1, nz - 1), 0, 0),
+        )
+        fused2 = pl.pallas_call(
+            partial(_fused2_kernel, lam, multip, pb, nz),
+            grid=(nel, nblk),
+            in_specs=[
+                plane_prev, blk, plane_next, plane_next2,  # x
+                plane_prev2, plane_prev, blk, plane_next, plane_next2,  # p1
+                plane_prev, blk, plane_next, plane_next2,  # p2
+                plane_prev, blk, plane_next, plane_next2,  # p3
+            ],
+            out_specs=(blk, blk, blk),
+            out_shape=(dshape, dshape, dshape),
+            interpret=interpret,
+        )
+
+        def body2(_, carry):
+            p1, p2, p3 = carry
+            return fused2(
+                x4, x4, x4, x4,
+                p1, p1, p1, p1, p1,
+                p2, p2, p2, p2,
+                p3, p3, p3, p3,
+            )
+
+        z = jnp.zeros(x4.shape, dual_dtype)
+        p1, p2, p3 = jax.lax.fori_loop(0, m // 2, body2, (z, z, z))
+        if m % 2:
+            p1, p2, p3 = fused(x4, x4, p1, p1, p1, p2, p2, p3, p3)
+    else:
+        z = jnp.zeros(x4.shape, dual_dtype)
+        p1, p2, p3 = jax.lax.fori_loop(0, m, body, (z, z, z))
     d = obj(x4, p1, p1, p2, p3)
     return (d[0] if squeeze else d), tv0
 
