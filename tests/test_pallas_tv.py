@@ -153,3 +153,49 @@ def test_fused2_matches_xla(iters, shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-6, atol=3e-6)
     np.testing.assert_allclose(float(tv_got), float(tv_ref), rtol=1e-6)
+
+
+@pytest.mark.parametrize("iters", [1, 4, 7])
+def test_sharded_fgp_matches_unsharded(iters):
+    """shard_map FGP (per-shard fused kernels + 1-plane ppermute halos)
+    == the unsharded XLA stencil result, on the 8-device virtual mesh.
+    This is the reference's MPI halo-ring TV path
+    (mpi_astra_ctvlib.cpp:360-386) at fused-kernel efficiency."""
+    from tomojax import dist
+    from tomojax.tv.pallas_fgp_sharded import tv_fgp_sharded
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(16, 16, 16)).astype(np.float32)) + 0.5
+    ref, tv_ref = tvmod.tv_fgp(x, iters, 0.2)
+    mesh = dist.make_mesh()
+    xs = dist.shard_volume(x, mesh)
+    got, tv_got = jax.jit(
+        lambda v: tv_fgp_sharded(v, iters, 0.2, mesh,
+                                 dual_dtype=jnp.float32)
+    )(xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-6, atol=3e-6)
+    np.testing.assert_allclose(float(tv_got), float(tv_ref), rtol=1e-6)
+
+
+def test_sharded_fgp_dispatch_via_config():
+    """tv_fgp routes through the shard_map kernels when a multi-device
+    mesh is registered and pallas is forced (CPU backend otherwise keeps
+    the XLA stencils)."""
+    from tomojax import dist
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.normal(size=(16, 16, 16)).astype(np.float32)) + 0.5
+    ref, _ = tvmod.tv_fgp(x, 4, 0.15)
+    mesh = dist.make_mesh()
+    try:
+        tjconfig.set_mesh(mesh)
+        tjconfig.set_tv_impl("pallas", dual_dtype=jnp.float32)
+        got, _ = jax.jit(lambda v: tvmod.tv_fgp(v, 4, 0.15))(
+            dist.shard_volume(x, mesh)
+        )
+    finally:
+        tjconfig.set_mesh(None)
+        tjconfig.set_tv_impl("auto", dual_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-6, atol=3e-6)

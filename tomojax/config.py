@@ -114,3 +114,16 @@ def use_pallas_tv() -> bool:
     if tv_impl == "pallas":
         return True
     return jax.default_backend() != "cpu" and jax.device_count() == 1
+
+
+def sharded_pallas_tv_mesh(nz: int):
+    """The registered slab mesh when the shard_map FGP kernels apply
+    (tv/pallas_fgp_sharded.py): multi-device mesh on a non-CPU backend
+    (or forced 'pallas'), slice count divisible. None otherwise."""
+    if tv_impl == "xla" or active_mesh is None or active_mesh.size <= 1:
+        return None
+    if tv_impl != "pallas" and jax.default_backend() == "cpu":
+        return None
+    if nz % active_mesh.size:
+        return None
+    return active_mesh

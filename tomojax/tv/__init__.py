@@ -155,6 +155,15 @@ def tv_fgp(x, n_iter: int, lam):
     """
     from tomojax import config as tjconfig
 
+    if x.ndim == 3:
+        mesh = tjconfig.sharded_pallas_tv_mesh(x.shape[0])
+        if mesh is not None:
+            # z-slab-sharded volume: per-shard fused kernels with a
+            # 1-plane ppermute halo per iteration (the reference's MPI
+            # halo ring, mpi_astra_ctvlib.cpp:360-386)
+            from tomojax.tv.pallas_fgp_sharded import tv_fgp_sharded
+
+            return tv_fgp_sharded(x, n_iter, lam, mesh)
     if x.ndim == 3 and tjconfig.use_pallas_tv():
         from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
 
