@@ -20,7 +20,7 @@ def main(markdown: bool = False):
     import jax
     import jax.numpy as jnp
     from tomojax.geometry import Geometry
-    from tomojax.solvers import make_system, fista_init, fista_step
+    from tomojax.solvers import make_system, fista_init, fista_run
     from tomojax.sim import nanocube_phantom
     from tomojax.projector.joseph import fp
 
@@ -36,19 +36,29 @@ def main(markdown: bool = False):
     jax.block_until_ready(b)
 
     state = fista_init(jnp.zeros((ns, n, n), jnp.float32), sysd)
-    step = jax.jit(lambda st, b: fista_step(st, b, sysd, 0.1, 10, True))
+    # All `iters` iterations in one scanned program (solvers.fista_run):
+    # measured 16.2 vs 18.7 ms/iter for the per-call loop on v5e (the
+    # per-dispatch host round-trip + inter-call pipeline bubble). The
+    # large one-time compile is absorbed by the persistent cache.
+    run = jax.jit(
+        lambda st, b: fista_run(st, b, sysd, 0.1, iters, 10, True)
+    )
 
     # warmup/compile
-    state, m = step(state, b)
+    state, m = run(state, b)
     jax.block_until_ready(state.x)
 
+    # time 3 chained program calls (3*iters iterations) for a stable
+    # window (~0.5 s); state feeds forward so no two calls are identical
+    # (the remote backend caches identical (executable, inputs) pairs).
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, b)
+    for _ in range(reps):
+        state, m = run(state, b)
     jax.block_until_ready(state.x)
     dt = time.perf_counter() - t0
 
-    voxel_iters_per_s = ns * n * n * iters / dt
+    voxel_iters_per_s = ns * n * n * iters * reps / dt
     print(
         json.dumps(
             {
@@ -63,7 +73,7 @@ def main(markdown: bool = False):
         # README/ARCHITECTURE perf snippet — regenerate instead of
         # hand-editing so the docs can't drift from the measured number.
         dev = jax.devices()[0].device_kind
-        ms = dt / iters * 1e3
+        ms = dt / (iters * reps) * 1e3
         print(
             f"\n**{voxel_iters_per_s/1e6:.1f}M voxel-iters/s** full "
             f"FISTA-TV at {ns}³ x {na} angles "

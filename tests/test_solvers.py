@@ -190,6 +190,29 @@ def test_fista_tv(tilt_problem):
     assert np.isfinite(float(m2[0]))
 
 
+def test_fista_run_matches_stepped(tilt_problem):
+    """fista_run (one scanned program, used by bench.py) is the same math
+    as n calls of fista_step — state and per-iteration metrics agree."""
+    from tomojax.solvers import fista_run
+
+    geom, sysd, ph, b = tilt_problem
+    st_a = fista_init(jnp.zeros_like(ph), sysd)
+    st_b = st_a
+    step = jax.jit(lambda st: fista_step(st, b, sysd, 0.005, 5, True))
+    metrics = []
+    for _ in range(4):
+        st_a, m = step(st_a)
+        metrics.append([float(v) for v in m])
+    run = jax.jit(lambda st: fista_run(st, b, sysd, 0.005, 4, 5, True))
+    st_b, ms = run(st_b)
+    np.testing.assert_allclose(
+        np.asarray(ms), np.asarray(metrics), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_b.x), np.asarray(st_a.x), rtol=2e-5, atol=1e-6
+    )
+
+
 def test_asd_pocs_loop(tilt_problem):
     """Host-side adaptation loop exactly as the reference's working driver
     (cpu/sim_ASD.py:65-96), including the first-iteration dPOCS init."""

@@ -15,7 +15,7 @@ from tomojax.solvers.iterative import (
     least_squares_step,
 )
 from tomojax.solvers.wbp import fbp
-from tomojax.solvers.fista import FistaState, fista_init, fista_step
+from tomojax.solvers.fista import FistaState, fista_init, fista_run, fista_step
 from tomojax.solvers.asd_pocs import (
     AsdPocsParams,
     make_asd_pocs_iteration,
@@ -35,6 +35,7 @@ __all__ = [
     "fbp",
     "FistaState",
     "fista_init",
+    "fista_run",
     "fista_step",
     "AsdPocsParams",
     "make_asd_pocs_iteration",
