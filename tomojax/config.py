@@ -41,7 +41,10 @@ pallas_precision = jax.lax.Precision.DEFAULT
 # fgp_dual_dtype: HBM storage dtype of the FGP dual fields P1..P3 between
 # fused-kernel iterations (tv/pallas_fgp.py). The dual-ball projection
 # keeps |P| <= 1 every iteration, so bfloat16 storage costs ~2^-9 relative
-# on P (~lam*1e-3 absolute on the denoised volume) and cuts the FGP
+# per dual term; six quantized terms enter each divergence and P is
+# re-quantized every iteration, so the worst case on the denoised volume
+# is ~lam*1e-2 absolute (measured lam*1.7e-2 after 10 iters — see
+# docs/ARCHITECTURE.md / scripts/measure_knobs.py) and cuts the FGP
 # kernel's HBM traffic ~40%. All arithmetic stays f32 in-register.
 # Measured convergence-equivalent on the BASELINE FISTA-TV problem (see
 # docs/ARCHITECTURE.md). Set to jnp.float32 for strict reference-f32

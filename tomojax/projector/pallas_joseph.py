@@ -130,9 +130,16 @@ def _dot(w, v, prec):
 def _compiler_params():
     # Contraction dim is the innermost grid axis ('arbitrary' = sequential,
     # required for VMEM accumulation); the outer two are parallel.
+    # vmem_limit_bytes: the BP kernel's scoped stack at the tuned rb=32
+    # sits at ~16.5 MB in some surrounding layouts (e.g. when the
+    # sinogram operand arrives untransposed from a preceding op), just
+    # over Mosaic's 16 MB default — raise the cap so the kernel compiles
+    # in every composition instead of only the layouts the bench happens
+    # to produce.
     try:
         return pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         )
     except TypeError:  # older/newer param name sets
         return None
