@@ -9,11 +9,36 @@ number is the tracked quantity.
 Run on whatever jax.devices() provides (real TPU under the driver).
 """
 
+import glob
 import json
+import os
+import re
 import sys
 import time
 
 import numpy as np
+
+
+def _prev_round_value(metric: str):
+    """Latest recorded driver value for this metric (BENCH_r{N}.json),
+    so the printed line carries a self-evident regression ratio. The
+    reference publishes no numbers (vs_baseline stays 1.0 by convention);
+    vs_prev_round is the tracked comparison."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        if rec.get("parsed", {}).get("metric") == metric:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, float(rec["parsed"]["value"]))
+    return None if best is None else best[1]
 
 
 def main(markdown: bool = False):
@@ -59,16 +84,17 @@ def main(markdown: bool = False):
     dt = time.perf_counter() - t0
 
     voxel_iters_per_s = ns * n * n * iters * reps / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"fista_tv_voxel_iters_per_s_{ns}x{n}x{n}_{na}ang",
-                "value": round(voxel_iters_per_s, 1),
-                "unit": "voxel-iters/s",
-                "vs_baseline": 1.0,
-            }
-        )
-    )
+    metric = f"fista_tv_voxel_iters_per_s_{ns}x{n}x{n}_{na}ang"
+    rec = {
+        "metric": metric,
+        "value": round(voxel_iters_per_s, 1),
+        "unit": "voxel-iters/s",
+        "vs_baseline": 1.0,
+    }
+    prev = _prev_round_value(metric)
+    if prev:
+        rec["vs_prev_round"] = round(voxel_iters_per_s / prev, 3)
+    print(json.dumps(rec))
     if markdown:
         # README/ARCHITECTURE perf snippet — regenerate instead of
         # hand-editing so the docs can't drift from the measured number.

@@ -182,7 +182,8 @@ def fgp_np(x, n_iter, lam):
         p2 = p2 + multip * fdiff(d, 1)
         p3 = p3 + multip * fdiff(d, 2)
         denom = p1 * p1 + p2 * p2 + p3 * p3
-        scale = np.where(denom > 1.0, 1.0 / np.sqrt(denom), 1.0)
+        with np.errstate(divide="ignore"):  # where() evaluates both arms
+            scale = np.where(denom > 1.0, 1.0 / np.sqrt(denom), 1.0)
         p1 *= scale
         p2 *= scale
         p3 *= scale

@@ -50,7 +50,8 @@ def _np_fgp(x, n_iter, lam):
         p2 = p2 + multip * g2
         p3 = p3 + multip * g3
         denom = p1**2 + p2**2 + p3**2
-        scale = np.where(denom > 1.0, 1.0 / np.sqrt(denom), 1.0)
+        with np.errstate(divide="ignore"):  # where() evaluates both arms
+            scale = np.where(denom > 1.0, 1.0 / np.sqrt(denom), 1.0)
         p1, p2, p3 = p1 * scale, p2 * scale, p3 * scale
     return d
 

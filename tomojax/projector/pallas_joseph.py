@@ -136,13 +136,21 @@ def _compiler_params():
     # over Mosaic's 16 MB default — raise the cap so the kernel compiles
     # in every composition instead of only the layouts the bench happens
     # to produce.
+    dims = ("parallel", "parallel", "arbitrary")
     try:
         return pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=dims,
             vmem_limit_bytes=64 * 1024 * 1024,
         )
-    except TypeError:  # older/newer param name sets
-        return None
+    except TypeError:
+        # Param-set drift: a JAX whose CompilerParams lacks
+        # vmem_limit_bytes must still get the dimension semantics (the
+        # two 'parallel' dims matter for performance) rather than
+        # dropping every param.
+        try:
+            return pltpu.CompilerParams(dimension_semantics=dims)
+        except TypeError:  # fully unknown param set
+            return None
 
 
 def _fp_kernel(n, nray, prec, cos_ref, sin_ref, invd_ref, img_ref, out_ref):

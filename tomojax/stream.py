@@ -372,6 +372,8 @@ class DynamicReconstructor:
         self.x = None
         self.dd_history: List[float] = []
         self._cache = {}
+        self._b_buf = None  # memoized assembled (Ns, Na_bucket, Nt) buffer
+        self._b_filled = 0
 
     # ------------------------------------------------------------ data --
 
@@ -411,12 +413,34 @@ class DynamicReconstructor:
             self._cache[key] = (geom, make_system(geom), {})
         geom, sysd, _steps = self._cache[key]
         nslice = self.projections[0].shape[0]
-        b = np.zeros((nslice, nb, self.nray), np.float32)
-        for i, p in enumerate(self.projections):
-            b[:, i, :] = p
+        # Assembled measurement buffer is memoized append-only: re-building
+        # b from the Python projection list on every iterate() call was an
+        # O(Na*Ns*Nt) host copy per round in the acquisition loop this
+        # module exists for. Only newly arrived projections are copied in;
+        # the buffer is re-allocated (old columns memcpy'd) only when the
+        # angle bucket grows.
+        if (
+            self._b_buf is None
+            or self._b_buf.shape[0] != nslice
+            or self._b_buf.shape[1] != nb
+        ):
+            new = np.zeros((nslice, nb, self.nray), np.float32)
+            if (
+                self._b_buf is not None
+                and self._b_buf.shape[0] == nslice
+                and self._b_buf.shape[2] == self.nray
+            ):
+                ncopy = min(self._b_filled, nb)
+                new[:, :ncopy, :] = self._b_buf[:, :ncopy, :]
+            else:
+                self._b_filled = 0
+            self._b_buf = new
+        for i in range(self._b_filled, n_real):
+            self._b_buf[:, i, :] = self.projections[i]
+        self._b_filled = n_real
         mask = np.zeros((1, nb, 1), np.float32)
         mask[:, :n_real] = 1.0
-        return geom, sysd, b, mask
+        return geom, sysd, self._b_buf, mask
 
     def _get_step(self, kind: str, build):
         """Fetch/build a jitted step for the current cached geometry."""
