@@ -189,3 +189,56 @@ def test_update_projection_angles():
     for _ in range(5):
         tomo.x = step(tomo.x, tomo.b)
     assert tomo.data_distance() < d0
+
+
+def test_mesh_scope_is_per_object_not_global():
+    """Regression for the set_mesh footgun: constructing a second
+    (differently-meshed) reconstructor must not re-route the first
+    object's kernel dispatch, and construction must not leak a
+    process-global mesh registration (round-2 VERDICT: api.py set_mesh
+    at ctor time was last-constructed-wins)."""
+    from tomojax import config as tjconfig, dist
+
+    ts, _ = _series()
+    mesh4 = dist.make_mesh(4)
+    a = TomoTPU(ANGLES, ts, mesh=mesh4)
+    assert tjconfig.active_mesh is None  # no global registration leak
+
+    # second object with a different (singleton) mesh
+    b = TomoTPU(ANGLES, ts, mesh=dist.make_mesh(1))
+    assert tjconfig.active_mesh is None
+
+    # observe the mesh each object's solver actually traces under
+    import tomojax.api as apimod
+
+    seen = []
+    real_sweep = apimod.sirt_sweep
+
+    def spy(*args, **kwargs):
+        seen.append(tjconfig.active_mesh)
+        return real_sweep(*args, **kwargs)
+
+    apimod.sirt_sweep = spy
+    try:
+        a.sirt(Niter=1, show_convergence=False)
+        b.sirt(Niter=1, show_convergence=False)
+        a.sirt(Niter=1, show_convergence=False)  # after b: still mesh4
+    finally:
+        apimod.sirt_sweep = real_sweep
+    assert seen[0] is mesh4
+    assert seen[1] is b.mesh
+    assert seen[2] is mesh4
+    assert tjconfig.active_mesh is None
+
+
+def test_mesh_scope_nesting_restores():
+    from tomojax import config as tjconfig, dist
+
+    m1, m2 = dist.make_mesh(2), dist.make_mesh(4)
+    assert tjconfig.active_mesh is None
+    with tjconfig.mesh_scope(m1):
+        assert tjconfig.active_mesh is m1
+        with tjconfig.mesh_scope(m2):
+            assert tjconfig.active_mesh is m2
+        assert tjconfig.active_mesh is m1
+    assert tjconfig.active_mesh is None

@@ -29,11 +29,14 @@ choose Nslice divisible by the mesh size.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from tomojax import config as _tjconfig
 
 from tomojax.geometry import Geometry
 from tomojax import dist, ops
@@ -68,6 +71,22 @@ def _to_sinogram(tilt_series: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(tilt_series, (0, 2, 1)))
 
 
+def _scoped(method):
+    """Run the method under this reconstructor's mesh scope
+    (config.mesh_scope) so sharded-kernel dispatch is per-object: every
+    jit inside the method traces while `self.mesh` is active, and two
+    live reconstructors with different meshes cannot re-route each
+    other's kernels (the reference binds device placement per engine
+    object the same way — tomoengine.cpp:87-89 set_gpu_id)."""
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with _tjconfig.mesh_scope(self.mesh):
+            return method(self, *args, **kwargs)
+
+    return wrapper
+
+
 class TomoTPU:
     """Batched tilt-series reconstructor (reference TomoGPU parity)."""
 
@@ -81,12 +100,6 @@ class TomoTPU:
         self.mesh = mesh if mesh is not None else (
             dist.make_mesh() if use_mesh or jax.device_count() > 1 else None
         )
-        # register for sharded-pallas projector dispatch (config.active_mesh
-        # is process-global; the most recently constructed reconstructor
-        # wins — matches the one-experiment-at-a-time usage pattern)
-        from tomojax import config as _tjconfig
-
-        _tjconfig.set_mesh(self.mesh)
         self.tilt_angles = np.asarray(tilt_angles, np.float64)
         self.recon = None
         self.cost = None
@@ -97,6 +110,7 @@ class TomoTPU:
 
     # ------------------------------------------------------------- data --
 
+    @_scoped
     def set_tilt_series(self, tilt_series: np.ndarray):
         """(Nslice, Nray, Nangles), tilt axis on dim 0 (README.md:36)."""
         self.Nslice, self.Nray, self.Nangles = tilt_series.shape
@@ -127,6 +141,7 @@ class TomoTPU:
         self.x = self._zeros_volume()
         self.recon = None
 
+    @_scoped
     def update_projection_angles(self, tilt_angles, tilt_series):
         """Dynamic-acquisition operator growth (reference
         tomoengine.cpp:130-149 rebuilds ASTRA geometry objects; here the
@@ -144,6 +159,7 @@ class TomoTPU:
 
     # -------------------------------------------------------- algorithms --
 
+    @_scoped
     def wbp(self, filter: str = "ram-lak", apply_positivity: bool = True):
         """Filtered backprojection (reference reconstructor.py:61-73)."""
         if filter not in FILTERS:
@@ -155,6 +171,7 @@ class TomoTPU:
         self.recon = None
         return self
 
+    @_scoped
     def sirt(self, Niter: int = 150, show_convergence: bool = True,
              variant: str = "astra"):
         """SIRT; variant selects the weighting style ('astra' default,
@@ -171,6 +188,7 @@ class TomoTPU:
         self._run_iterative(step, Niter, show_convergence)
         return self
 
+    @_scoped
     def art(self, Niter: int = 1, beta: float = 1.0,
             random_order: bool = False, show_convergence: bool = True):
         """Row-action Kaczmarz ART / randART sweeps (reference CPU engine
@@ -196,6 +214,7 @@ class TomoTPU:
         self.recon = None
         return self
 
+    @_scoped
     def sart(
         self, Niter: int = 150, init: str = "sequential",
         beta: float = 1.0, show_convergence: bool = True,
@@ -223,6 +242,7 @@ class TomoTPU:
         self.recon = None
         return self
 
+    @_scoped
     def cgls(self, Niter: int = 100, show_convergence: bool = True):
         """CGLS; positivity applied after the run (tomoengine.cpp:228)."""
         self.restart_recon()
@@ -235,6 +255,7 @@ class TomoTPU:
         self.recon = None
         return self
 
+    @_scoped
     def kl_divergence(self, Niter: int = 100, lambda_param: float = 0.1):
         """Poisson-ML (reference reconstructor.py:113-119); a *copy* of b
         is normalized to max 1 — unconditionally, matching the reference
@@ -260,6 +281,7 @@ class TomoTPU:
         self.recon = None
         return self
 
+    @_scoped
     def fista(
         self,
         Niter: int = 100,
@@ -288,6 +310,7 @@ class TomoTPU:
         self.recon = None
         return self
 
+    @_scoped
     def asd_pocs(
         self,
         Niter: int = 100,
@@ -345,9 +368,11 @@ class TomoTPU:
             if show_convergence:
                 self.cost[i] = float(ddj(self.x, self.b))
 
+    @_scoped
     def data_distance(self) -> float:
         return float(ops.data_distance(fp(self.x, self.geom), self.b))
 
+    @_scoped
     def tv(self) -> float:
         return float(tvmod.tv(self.x))
 
@@ -370,6 +395,7 @@ class TomoTPU:
             b = dist.unpad_slices(b, self._ns_orig)
         return np.asarray(b)
 
+    @_scoped
     def get_model_projections(self) -> np.ndarray:
         g = fp(self.x, self.geom)
         if self.mesh is not None:
@@ -405,6 +431,7 @@ class Simulator(TomoTPU):
         series = np.transpose(b, (0, 2, 1))
         super().__init__(np.asarray(tilt_angles), series, mesh=mesh)
 
+    @_scoped
     def rmse(self) -> float:
         gt = jnp.asarray(self.original)
         x = self.x
@@ -432,10 +459,12 @@ class ChemicalTomo:
         self.gamma, self.sigmaMethod = gamma, sigmaMethod
         self.reduceLambda = True
         self.mesh = mesh
-        from tomojax import config as _tjconfig
+        with _tjconfig.mesh_scope(mesh):
+            self._init_data(haadf, haadfTiltAngles, chem, chemTiltAngles,
+                            gamma, sigmaMethod, mesh)
 
-        _tjconfig.set_mesh(mesh)
-
+    def _init_data(self, haadf, haadfTiltAngles, chem, chemTiltAngles,
+                   gamma, sigmaMethod, mesh):
         # normalize + reshape (reconstructor.py:94-137)
         h = np.maximum(np.asarray(haadf, np.float32), 0)
         h /= max(h.max(), 1e-30)
@@ -481,6 +510,7 @@ class ChemicalTomo:
         self.x = jnp.zeros_like(self.x)
         self.reconTotal = None
 
+    @_scoped
     def chemical_tomography(
         self, Niter: int = 100, lambdaCHEM: float = 0.05,
         show_convergence: bool = True,
@@ -498,6 +528,7 @@ class ChemicalTomo:
         self.reconTotal = None
         return self
 
+    @_scoped
     def _rescale_data(self, scale: float = 10.0):
         """reconstructor.py:227-236."""
         self.x = rescale_tomograms(self.x, scale)
@@ -505,6 +536,7 @@ class ChemicalTomo:
             lambda x, bh: rescale_projections(x, bh, self.fsys)
         )(self.x, self.b_haadf)
 
+    @_scoped
     def data_fusion(
         self,
         Niter: int = 50,
@@ -568,6 +600,7 @@ class ChemicalTomo:
         self.reconTotal = None
         return self
 
+    @_scoped
     def rmse_per_element(self, ground_truth) -> np.ndarray:
         x = self.x
         if self.mesh is not None:

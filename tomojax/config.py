@@ -56,20 +56,44 @@ fgp_dual_dtype = "bfloat16"
 # multi-device meshes — where the rolls must lower to halo collectives).
 tv_impl: str = "auto"
 
-# active_mesh: the slab mesh solver programs run under, registered by the
-# API layer (TomoTPU/ChemicalTomo mesh= ctor arg) or via set_mesh(). On a
-# TPU backend a registered multi-device mesh routes FP/BP through
-# shard_map-wrapped per-shard Pallas kernels (projector/sharded.py) —
-# measured 3.0x over the XLA mxu scan per chip (4.87 vs 14.43 ms at
-# 256^3 x 90 on v5e) with zero shard_map overhead and zero cross-device
-# traffic (the data term is slice-parallel). Batches whose slice axis
-# does not divide by the mesh size fall back to the mxu formulation.
+# active_mesh: the slab mesh solver programs run under. Scoped, not
+# global: the API layer (TomoTPU/ChemicalTomo) wraps every method body in
+# `mesh_scope(self.mesh)`, so dispatch is per-reconstructor — two live
+# reconstructors with different meshes can't silently re-route each
+# other's kernels (an earlier design registered the mesh at construction
+# time, so the most recently constructed object won). On a TPU backend a
+# multi-device scope mesh routes FP/BP through shard_map-wrapped
+# per-shard Pallas kernels (projector/sharded.py) — measured 3.0x over
+# the XLA mxu scan per chip (4.87 vs 14.43 ms at 256^3 x 90 on v5e) with
+# zero shard_map overhead and zero cross-device traffic (the data term is
+# slice-parallel). Batches whose slice axis does not divide by the mesh
+# size fall back to the mxu formulation.
 active_mesh = None
 
 
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def mesh_scope(mesh):
+    """Dynamically scope the slab mesh used for sharded-kernel dispatch.
+
+    jit closures capture the dispatch decision at TRACE time, so a step
+    built and first called inside the scope keeps its routing for the
+    lifetime of its compiled program even after the scope exits."""
+    global active_mesh
+    prev = active_mesh
+    active_mesh = mesh
+    try:
+        yield mesh
+    finally:
+        active_mesh = prev
+
+
 def set_mesh(mesh) -> None:
-    """Register (or clear, with None) the mesh used for sharded-pallas
-    projector dispatch."""
+    """Deprecated process-global registration (last-caller-wins). Prefer
+    `mesh_scope` (what the API layer uses) — kept as a shim for scripts
+    that build jitted steps outside a reconstructor object."""
     global active_mesh
     active_mesh = mesh
 
