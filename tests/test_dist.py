@@ -269,3 +269,58 @@ def test_sharded_fista_full_pallas_path(mesh, problem):
                                rtol=1e-4, atol=1e-5)
     assert np.isclose(float(dd), float(dd_ref), rtol=1e-4)
     assert np.isclose(float(tvv), float(tv_ref), rtol=1e-4)
+
+
+def test_sharded_asd_pocs_full_pallas_path(mesh, problem):
+    """Sharded ASD-POCS with ALL shard_map fast paths engaged (per-shard
+    Pallas FP/BP + per-shard Pallas TV-GD with the periodic ppermute
+    halo ring) matches the unsharded run — the reference's flagship MPI
+    workload (mpi_ctvlib.cpp:495-558, examples/sim_ASD.py) now runs
+    fused kernels end-to-end under a mesh."""
+    from tomojax import config as tjconfig
+    from tomojax.solvers import make_asd_pocs_iteration, make_sart_weights
+
+    geom, sysd, gt, b = problem
+    sart_w = make_sart_weights(sysd)
+    order = jnp.arange(geom.nproj, dtype=jnp.int32)
+
+    def drive(run, x, bb):
+        beta, dpocs = 0.25, 0.0
+        dds = []
+        for i in range(3):
+            x, dp, dd, dg, tv0, dpocs_eff = run(
+                x, bb, beta, dpocs, order, i == 0, 0.2
+            )
+            beta *= 0.9985
+            dpocs = float(dpocs_eff)
+            dds.append(float(dd))
+            if float(dg) > 0.95 * float(dp) and float(dd) > 0.025:
+                dpocs *= 0.95
+        return x, dds
+
+    run_ref = make_asd_pocs_iteration(sysd, sart_w, ng=4)
+    x_ref, dd_ref = drive(run_ref, jnp.zeros_like(gt), b)
+
+    try:
+        tjconfig.set_projector_mode("pallas")
+        tjconfig.set_tv_impl("pallas")
+        with tjconfig.mesh_scope(mesh):
+            run = make_asd_pocs_iteration(sysd, sart_w, ng=4)
+            x, dd = drive(
+                run,
+                dist.shard_volume(jnp.zeros_like(gt), mesh),
+                dist.shard_volume(b, mesh),
+            )
+    finally:
+        tjconfig.set_projector_mode("auto")
+        tjconfig.set_tv_impl("auto")
+    # Tolerance note: the normalized TV subgradient divides by
+    # denominators ~sqrt(EPS_TV)=1e-3 in flat regions, so ulp-level
+    # kernel/reduction-order differences amplify ~1e3x per descent step;
+    # measured drift of the SINGLE-device Pallas TV-GD vs the XLA
+    # stencil through this same 3-iteration composition is 1.2e-3.
+    # Per-step kernel equality is pinned tightly (3e-5) in
+    # test_pallas_tv.py::test_sharded_tvgd_matches_unsharded.
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               atol=2e-3)
+    np.testing.assert_allclose(dd, dd_ref, rtol=1e-3)

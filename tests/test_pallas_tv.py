@@ -199,3 +199,68 @@ def test_sharded_fgp_dispatch_via_config():
         tjconfig.set_tv_impl("auto", dual_dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-6, atol=3e-6)
+
+
+def test_sharded_tvgd_matches_unsharded():
+    """shard_map TV-GD (per-shard fused gradient kernel + periodic
+    ppermute halo RING + global psum norm) == the unsharded XLA stencil
+    result on the 8-device virtual mesh. This is the reference's MPI
+    ASD-POCS TV loop (mpi_ctvlib.cpp:495-558) at fused-kernel efficiency,
+    with the documented global-norm deviation (SURVEY.md §3.3)."""
+    from tomojax import dist
+    from tomojax.tv.pallas_tvgd_sharded import tv_gd_sharded
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(16, 16, 16)).astype(np.float32)) + 0.5
+    ref, tv_ref = tvmod.tv_gd(x, 5, 0.07)
+    mesh = dist.make_mesh()
+    xs = dist.shard_volume(x, mesh)
+    got, tv_got = jax.jit(
+        lambda v, dp: tv_gd_sharded(v, 5, dp, mesh)
+    )(xs, jnp.float32(0.07))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(float(tv_got), float(tv_ref), rtol=1e-6)
+
+
+def test_sharded_tvgd_periodic_ring():
+    """The z-halo is a RING: the gradient at plane 0 must see plane
+    nz-1 (periodic BCs, tv_gd.cu:27-47) — a zero-fill halo would give a
+    different (open-boundary) answer. Use a field that varies sharply at
+    the wrap seam so a wrong halo is detectable."""
+    from tomojax import dist
+    from tomojax.tv.pallas_tvgd_sharded import tv_gd_sharded
+
+    nz = 16
+    x = np.ones((nz, 8, 8), np.float32)
+    x[0] = 4.0
+    x[-1] = -2.0  # sharp wrap-seam contrast
+    x = jnp.asarray(x)
+    ref, _ = tvmod.tv_gd(x, 3, 0.1)
+    mesh = dist.make_mesh()
+    got, _ = jax.jit(
+        lambda v, dp: tv_gd_sharded(v, 3, dp, mesh)
+    )(dist.shard_volume(x, mesh), jnp.float32(0.1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-6)
+
+
+def test_sharded_tvgd_dispatch_via_config():
+    """tv_gd routes through the shard_map kernel when a multi-device
+    mesh is in scope and pallas is forced."""
+    from tomojax import dist
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(16, 16, 16)).astype(np.float32)) + 0.5
+    ref, _ = tvmod.tv_gd(x, 4, 0.05)
+    mesh = dist.make_mesh()
+    try:
+        tjconfig.set_tv_impl("pallas")
+        with tjconfig.mesh_scope(mesh):
+            got, _ = jax.jit(lambda v: tvmod.tv_gd(v, 4, 0.05))(
+                dist.shard_volume(x, mesh)
+            )
+    finally:
+        tjconfig.set_tv_impl("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=3e-6)

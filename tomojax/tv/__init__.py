@@ -86,10 +86,20 @@ def tv_gd(x, ng: int, dpocs, axis_norm=None):
     reference; per-element 4D passes the last three).
 
     Dispatches to the fused Pallas gradient kernel on a single-device TPU
-    backend (tomojax.config.tv_impl); identical output.
+    backend, and to the shard_map per-slab kernel + periodic ppermute
+    halo ring under a registered multi-device mesh
+    (tv/pallas_tvgd_sharded.py); identical output (global psum norm —
+    the documented deviation from the reference's local-norm bug,
+    SURVEY.md §3.3).
     """
     from tomojax import config as tjconfig
 
+    if x.ndim == 3 and axis_norm is None:
+        mesh = tjconfig.sharded_pallas_tv_mesh(x.shape[0])
+        if mesh is not None:
+            from tomojax.tv.pallas_tvgd_sharded import tv_gd_sharded
+
+            return tv_gd_sharded(x, ng, dpocs, mesh)
     if x.ndim == 3 and axis_norm is None and tjconfig.use_pallas_tv():
         from tomojax.tv.pallas_tvgd import tv_gd_pallas
 

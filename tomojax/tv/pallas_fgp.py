@@ -251,7 +251,7 @@ def _fused_plane_block(nz: int) -> int:
     return 1
 
 
-def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
+def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
                         dual_dtype=None, fuse_pairs: bool = False):
     """FGP with the obj+grad passes fused into one kernel per iteration.
 
@@ -284,6 +284,8 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
     from tomojax import tv as tvmod
     from tomojax import config as tjconfig
 
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     squeeze = x.ndim == 3
     x4 = x[None] if squeeze else x
     nel, nz, ny, nx = x4.shape
@@ -391,13 +393,15 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool = False,
     return (d[0] if squeeze else d), tv0
 
 
-def tv_fgp_pallas(x, n_iter: int, lam, interpret: bool = False):
+def tv_fgp_pallas(x, n_iter: int, lam, interpret: bool | None = None):
     """Reference-faithful FGP via fused Pallas kernels.
 
     x: (nz, ny, nx). Returns (denoised, tv_of_input). Matches
     tomojax.tv.tv_fgp bit-for-bit up to f32 rounding."""
     from tomojax import tv as tvmod
 
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     nz, ny, nx = x.shape
     x4 = x[None]  # kernels are written for the (nel, nz, ny, nx) grid
     tv0 = tvmod.tv(x)

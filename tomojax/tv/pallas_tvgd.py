@@ -61,8 +61,10 @@ def _grad_kernel(xp_ref, xc_ref, xn_ref, g_ref):
     g_ref[0] = g
 
 
-def tv_grad_pallas(x, interpret: bool = False):
+def tv_grad_pallas(x, interpret: bool | None = None):
     """Fused TV subgradient: (nz, ny, nx) -> same shape."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     nz, ny, nx = x.shape
     spec = pl.BlockSpec((1, ny, nx), lambda i: (i, 0, 0))
     spec_prev = pl.BlockSpec((1, ny, nx), lambda i: ((i - 1) % nz, 0, 0))
@@ -77,7 +79,7 @@ def tv_grad_pallas(x, interpret: bool = False):
     )(x, x, x)
 
 
-def tv_gd_pallas(x, ng: int, dpocs, interpret: bool = False):
+def tv_gd_pallas(x, ng: int, dpocs, interpret: bool | None = None):
     """`ng` normalized TV-subgradient steps + positivity, Pallas gradient.
 
     Matches tomojax.tv.tv_gd for 3D inputs (global-norm normalization)."""
