@@ -242,3 +242,26 @@ def test_mesh_scope_nesting_restores():
             assert tjconfig.active_mesh is m2
         assert tjconfig.active_mesh is m1
     assert tjconfig.active_mesh is None
+
+
+def test_fista_fused_matches_host_loop():
+    """fista(fused=True) — the scanned one-program driver — matches the
+    host-loop driver (pod-production shape through the public API)."""
+    ts, _ = _series()
+    a = TomoTPU(ANGLES, ts)
+    a.fista(Niter=5, lambda_param=0.01)
+    b = TomoTPU(ANGLES, ts)
+    b.fista(Niter=5, lambda_param=0.01, fused=True)
+    np.testing.assert_allclose(b.get_recon(), a.get_recon(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(b.cost, a.cost, rtol=1e-4)
+
+
+def test_asd_pocs_fused_matches_host_loop():
+    ts, _ = _series()
+    a = TomoTPU(ANGLES, ts)
+    a.asd_pocs(Niter=4, nTViter=3)
+    b = TomoTPU(ANGLES, ts)
+    b.asd_pocs(Niter=4, nTViter=3, fused=True)
+    np.testing.assert_allclose(b.get_recon(), a.get_recon(), atol=2e-3)
+    np.testing.assert_allclose(b.dd_vec, a.dd_vec, rtol=1e-3)

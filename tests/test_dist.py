@@ -324,3 +324,41 @@ def test_sharded_asd_pocs_full_pallas_path(mesh, problem):
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                atol=2e-3)
     np.testing.assert_allclose(dd, dd_ref, rtol=1e-3)
+
+
+def test_sharded_fista_run_scan_pallas_path(mesh, problem):
+    """The POD-PRODUCTION program shape: `fista_run` scans >=3 FISTA
+    iterations into ONE traced program, composed with a mesh and BOTH
+    shard_map fast paths (per-shard Pallas FP/BP + per-shard Pallas FGP
+    with ppermute halos). This is what actually runs on a pod (the
+    reference analog is the whole MPI driver loop,
+    mpi_astra_ctvlib.cpp:211-231); round 2 had only per-step host-loop
+    coverage of the sharded composition."""
+    from tomojax import config as tjconfig
+    from tomojax.solvers import fista_init, fista_step, fista_run
+
+    geom, sysd, gt, b = problem
+    ref_st = fista_init(jnp.zeros_like(gt), sysd)
+    step_ref = jax.jit(lambda s, bb: fista_step(s, bb, sysd, 0.1, 4, True))
+    ref_metrics = []
+    for _ in range(3):
+        ref_st, m = step_ref(ref_st, b)
+        ref_metrics.append([float(v) for v in m])
+
+    try:
+        tjconfig.set_projector_mode("pallas")
+        tjconfig.set_tv_impl("pallas", dual_dtype=jnp.float32)
+        with tjconfig.mesh_scope(mesh):
+            bs = dist.shard_volume(b, mesh)
+            st = fista_init(dist.shard_volume(jnp.zeros_like(gt), mesh), sysd)
+            run = jax.jit(
+                lambda s, bb: fista_run(s, bb, sysd, 0.1, 3, 4, True)
+            )
+            st, metrics = run(st, bs)
+    finally:
+        tjconfig.set_projector_mode("auto")
+        tjconfig.set_tv_impl("auto", dual_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(ref_st.x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(metrics), np.asarray(ref_metrics),
+                               rtol=1e-4)

@@ -290,22 +290,42 @@ class TomoTPU:
         nTViter: int = 10,
         show_convergence: bool = True,
         compat: str = "correct",
+        fused: bool = False,
     ):
         """FISTA-TV (reference reconstructor.py:121-155). See
-        solvers/fista.py for the documented reference-compat deviation."""
+        solvers/fista.py for the documented reference-compat deviation.
+
+        fused=True scans all Niter iterations into ONE traced program
+        (solvers.fista_run — the pod-production shape, measured 16.2 vs
+        18.7 ms/iter on v5e at 256^3; one pathological compile that the
+        persistent cache absorbs). The host loop stays the default for
+        interactive use."""
         self.restart_recon()
         st = fista_init(self.x, self.sys)
-        step = jax.jit(
-            lambda st, b: fista_step(
-                st, b, self.sys, lambda_param, nTViter, momentum, compat,
-                compute_metrics=show_convergence,
-            )
-        )
         self.cost = np.zeros(Niter, np.float32)
-        for k in range(Niter):
-            st, (cost, dd, tvv) = step(st, self.b)
+        if fused:
+            from tomojax.solvers import fista_run
+
+            run = jax.jit(
+                lambda st, b: fista_run(
+                    st, b, self.sys, lambda_param, Niter, nTViter,
+                    momentum, compat, compute_metrics=show_convergence,
+                )
+            )
+            st, metrics = run(st, self.b)
             if show_convergence:
-                self.cost[k] = float(cost)
+                self.cost[:] = np.asarray(metrics)[:, 0]
+        else:
+            step = jax.jit(
+                lambda st, b: fista_step(
+                    st, b, self.sys, lambda_param, nTViter, momentum, compat,
+                    compute_metrics=show_convergence,
+                )
+            )
+            for k in range(Niter):
+                st, (cost, dd, tvv) = step(st, self.b)
+                if show_convergence:
+                    self.cost[k] = float(cost)
         self.x = st.x
         self.recon = None
         return self
@@ -323,13 +343,39 @@ class TomoTPU:
         alpha_reduce: float = 0.95,
         init: str = "sequential",
         show_convergence: bool = True,
+        fused: bool = False,
     ):
         """ASD-POCS with the reference's *working* adaptation logic
         (cpu/sim_ASD.py:65-96 — TomoGPU.asd_pocs itself has undefined-name
-        bugs, SURVEY.md §2.5)."""
+        bugs, SURVEY.md §2.5).
+
+        fused=True runs the whole adaptive loop as one scanned program
+        (solvers.make_asd_pocs_run; identical math, adaptation scalars
+        carried through the scan) — the pod-production shape. NOTE the
+        nested scan(iterations)/scan(angles) program can take minutes to
+        compile on slow compile services; host-loop stays the default."""
         self.restart_recon()
         if self._sart_w is None:
             self._sart_w = make_sart_weights(self.sys)
+        if fused:
+            from tomojax.solvers import AsdPocsParams, make_asd_pocs_run
+
+            params = AsdPocsParams(
+                niter=Niter, eps=eps, beta0=beta0, beta_red=beta_reduce,
+                r_max=r_max, ng=nTViter, alpha=alpha,
+                alpha_red=alpha_reduce,
+            )
+            run = make_asd_pocs_run(
+                self.sys, self._sart_w, params,
+                random_order=(init == "random"),
+            )
+            self._order_key, sub = jax.random.split(self._order_key)
+            self.x, dd_vec, tv_vec = run(self.x, self.b, sub)
+            self.dd_vec = np.asarray(dd_vec)
+            self.tv_vec = np.asarray(tv_vec)
+            self.cost = self.dd_vec
+            self.recon = None
+            return self
         # Host-side adaptation loop (like the reference driver). The fully
         # fused scan variant (solvers.make_asd_pocs_run) is numerically
         # equivalent but its nested-control-flow program compiles very

@@ -144,10 +144,13 @@ def use_pallas_tv() -> bool:
 
 
 def sharded_pallas_tv_mesh(nz: int):
-    """The registered slab mesh when the shard_map FGP kernels apply
-    (tv/pallas_fgp_sharded.py): multi-device mesh on a non-CPU backend
-    (or forced 'pallas'), slice count divisible. None otherwise."""
-    if tv_impl == "xla" or active_mesh is None or active_mesh.size <= 1:
+    """The in-scope slab mesh when the shard_map TV kernels apply
+    (tv/pallas_fgp_sharded.py, pallas_tvgd_sharded.py): a mesh in scope
+    on a non-CPU backend (or forced 'pallas'), slice count divisible.
+    None otherwise. Size-1 meshes route through shard_map too (measured
+    zero overhead) so the pod program shape is compile-provable on one
+    real chip."""
+    if tv_impl == "xla" or active_mesh is None:
         return None
     if tv_impl != "pallas" and jax.default_backend() == "cpu":
         return None

@@ -186,11 +186,13 @@ def _fp_branch_mxu(x, cosv, sinv, row_driven: bool, nray: int):
 
 
 def _sharded_mesh_for(batch: int):
-    """The registered slab mesh, when per-shard pallas dispatch applies:
-    multi-device mesh + slice axis divisible by it (jit would otherwise
-    have to reshard; non-divisible batches take the mxu path)."""
+    """The in-scope slab mesh, when per-shard pallas dispatch applies:
+    slice axis divisible by the mesh size (jit would otherwise have to
+    reshard; non-divisible batches take the mxu path). Size-1 meshes
+    route through shard_map too — measured zero overhead, and it makes
+    the pod program shape compile-provable on one real chip."""
     mesh = tjconfig.active_mesh
-    if mesh is not None and mesh.size > 1 and batch % mesh.size == 0:
+    if mesh is not None and batch % mesh.size == 0:
         return mesh
     return None
 
