@@ -65,3 +65,30 @@ def test_poisson_noise_does_not_mutate_input():
     before_np = b_np.copy()
     _ = ops.poisson_noise(key, b_np, 50)
     np.testing.assert_array_equal(b_np, before_np)
+
+
+def test_poisson_noise_sharded_pod_safe():
+    """Sharded sinogram: global mean via one psum'd scalar, per-shard
+    local corruption (the reference's MPI design,
+    mpi_astra_ctvlib.cpp:152-173) — the result keeps the slab sharding,
+    preserves the mean, and is deterministic in (key, layout)."""
+    from tomojax import dist
+
+    mesh = dist.make_mesh(8)
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.uniform(1.0, 3.0, (16, 10, 32)).astype(np.float32))
+    bs = dist.shard_volume(b, mesh)
+    key = jax.random.PRNGKey(7)
+    noisy = ops.poisson_noise(key, bs, 200)
+    assert noisy.sharding.is_equivalent_to(bs.sharding, 3)
+    # mean preserved to Poisson statistics (relative sd ~ 1/sqrt(N*200))
+    ratio = float(jnp.sum(noisy)) / float(jnp.sum(b))
+    assert abs(ratio - 1.0) < 0.01
+    # actually corrupted, and deterministically so
+    assert float(jnp.max(jnp.abs(noisy - bs))) > 0
+    noisy2 = ops.poisson_noise(key, bs, 200)
+    np.testing.assert_array_equal(np.asarray(noisy), np.asarray(noisy2))
+    # different shards got different noise streams (seed mixing works)
+    a0 = np.asarray(noisy)[0] - np.asarray(b)[0]
+    a1 = np.asarray(noisy)[2] - np.asarray(b)[2]
+    assert np.abs(a0 - a1).max() > 0

@@ -83,9 +83,36 @@ def poisson_noise(key, b, n_counts: int):
     otherwise) like the reference's std::poisson_distribution loop:
     `jax.random.poisson` at high count levels is a rejection sampler that
     took minutes on the remote TPU backend for 256-class sinograms.
-    """
-    b_host = np.asarray(b)
+
+    Pod-safe sharded path (the reference's MPI design,
+    mpi_astra_ctvlib.cpp:152-173: `MPI_Allreduce` of the local sums for
+    the global mean, then each rank corrupts its local slab): when `b`
+    is sharded over more than one device, the global sum is ONE jitted
+    scalar reduction (lowers to psum) and each addressable shard is
+    corrupted locally with a deterministic per-shard seed — the global
+    sinogram never materializes on any host. Per-shard seeding means the
+    sampled noise depends on the shard layout (the reference's
+    per-rank std::poisson streams likewise differ by rank count)."""
     seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+    if isinstance(b, jax.Array) and len(b.sharding.device_set) > 1:
+        total = float(jax.jit(jnp.sum)(b))  # psum over shards
+        if total <= 0:
+            return b
+        scale = n_counts * b.size / total
+        pieces = []
+        for sh in b.addressable_shards:
+            off = tuple(int(s.start or 0) for s in sh.index)
+            sseed = seed
+            for o in off:
+                sseed = (sseed * 1000003 + o * 7919 + 1) & 0x7FFFFFFF
+            rng = np.random.default_rng(sseed)
+            local = np.asarray(sh.data)
+            noisy = (rng.poisson(local * scale) / scale).astype(np.float32)
+            pieces.append(jax.device_put(noisy, sh.device))
+        return jax.make_array_from_single_device_arrays(
+            b.shape, b.sharding, pieces
+        )
+    b_host = np.asarray(b)
     try:
         from tomojax import native
 
