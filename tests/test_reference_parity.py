@@ -311,3 +311,207 @@ def test_asd_pocs_parity(setup):
     assert np.max(np.abs(tj / tj[0] - tn / tn[0])) < 0.12
     assert np.max(np.abs(rj - rn)) < 0.005
     assert rj[-1] < 0.15 and rn[-1] < 0.15  # both reconstruct well
+
+
+# --------------------------------------------------------------------------
+# Fusion-family parity oracle (round-3 VERDICT ask #1): an INDEPENDENT
+# NumPy + exact-Siddon-matrix implementation of the reference fusion
+# engine, derived directly from multimodal.cpp — data_fusion
+# (:455-491: per-slice g = FP(sigma x^gamma); fuse :427-441 = ASTRA-SIRT
+# from the HAADF model toward bh then gamma-chain-ruled sigma^T
+# correction; x -= lamC/L_Aps dCHEM - lamH dHAADF; costs from PRE-update
+# Ax/g; positivity at sweep end), poisson_ml (:277-304), and
+# rescale_projections (:307-328: per-projection block max-matching).
+# sigma is the weighted element sum (fusion_helper.py:12-29), so sigma^T
+# is per-element broadcast-by-weight. Same protocol as the solvers above:
+# each engine simulates measurements with its OWN operator from the same
+# ground truth; convergence curves are compared.
+# --------------------------------------------------------------------------
+
+F_NEL, F_NSL = 2, 4
+F_HANG = np.linspace(-70, 70, 20)
+F_CANG = np.linspace(-60, 60, 9)
+F_GAMMA = 1.6
+F_EPS = 0.1  # multimodal.hpp:67
+
+
+class FusionOracle:
+    def __init__(self, w):
+        self.eh = native.CpuEngine(F_NSL, N, F_HANG)
+        self.ec = native.CpuEngine(F_NEL * F_NSL, N, F_CANG)
+        self.w = np.asarray(w, np.float32)
+        self.l_aps = self.ec.lipschitz  # max(A^T A 1), multimodal.cpp:261
+
+    def sigma_pow(self, x):  # (nel, ns, ncol) -> (ns, ncol)
+        return np.einsum(
+            "e,esc->sc", self.w, np.power(np.maximum(x, 0), F_GAMMA)
+        )
+
+    def fp_c(self, x):
+        return self.ec.fp(x.reshape(F_NEL * F_NSL, -1))
+
+    def bp_c(self, y):
+        return self.ec.bp(y).reshape(F_NEL, F_NSL, -1)
+
+    def poisson_ml(self, x, b_c, lam):
+        ax = self.fp_c(x)
+        upd = self.bp_c((ax - b_c) / (ax + F_EPS))
+        cost = np.sum(ax - b_c * np.log(ax + F_EPS))  # pre-update Ax
+        return np.maximum(x - (lam / self.l_aps) * upd, 0), cost
+
+    def fuse_step(self, x, b_h, b_c, lam_h, lam_c, it_sirt):
+        xpos = np.maximum(x, 0)
+        h = self.sigma_pow(x)
+        g = self.eh.fp(h)
+        self.eh.x = h.copy()
+        self.eh.b = b_h.copy()
+        self.eh.sirt_astra(it_sirt)  # ASTRA SIRT from h toward bh
+        u = self.eh.x
+        diff = self.w[:, None, None] * (u - h)[None]  # sigma^T
+        d_h = F_GAMMA * np.power(xpos, F_GAMMA - 1.0) * diff
+        ax = self.fp_c(x)
+        d_c = self.bp_c((ax - b_c) / (ax + F_EPS))
+        cost_c = np.sum(ax - b_c * np.log(ax + F_EPS))
+        x = np.maximum(x - (lam_c / self.l_aps) * d_c + lam_h * d_h, 0)
+        return x, float(np.linalg.norm(g - b_h)), cost_c
+
+    def rescale_proj(self, x, b_h):
+        g = self.eh.fp(self.sigma_pow(x)).reshape(F_NSL, len(F_HANG), N)
+        b3 = b_h.reshape(F_NSL, len(F_HANG), N)
+        bmax = b3.max(axis=(0, 2), keepdims=True)
+        gmax = g.max(axis=(0, 2), keepdims=True)
+        return (b3 / np.maximum(bmax, 1e-30) * gmax).reshape(F_NSL, -1)
+
+
+@pytest.fixture(scope="module")
+def fusion_setup():
+    from tomojax.fusion import (
+        make_fusion_system, weights_for_elements, fp4d, model_haadf,
+    )
+
+    yy, xx = np.mgrid[0:N, 0:N]
+    e1 = 0.8 * (((xx - 12.0) ** 2 + (yy - 16.0) ** 2) < 36)
+    e2 = 0.6 * (((xx - 21.0) ** 2 + (yy - 14.0) ** 2) < 25)
+    gt = np.stack(
+        [np.stack([e1] * F_NSL), np.stack([e2] * F_NSL)]
+    ).astype(np.float32)
+    w = np.asarray(weights_for_elements(["c", "au"], F_GAMMA, 3), np.float32)
+
+    orc = FusionOracle(w)
+    gt_rows = gt.reshape(F_NEL, F_NSL, N * N)
+    b_c_nat = orc.fp_c(gt_rows)
+    b_h_nat = orc.eh.fp(orc.sigma_pow(gt_rows))
+
+    fsys = make_fusion_system(
+        N, np.deg2rad(F_HANG), np.deg2rad(F_CANG), w, F_GAMMA
+    )
+    gt_j = jnp.asarray(gt)
+    b_c_jax = fp4d(gt_j, fsys.chem)
+    b_h_jax = jax.jit(lambda h: fp(h, fsys.haadf.geom))(
+        model_haadf(gt_j, fsys)
+    )
+    return gt, gt_rows, w, orc, fsys, b_c_nat, b_h_nat, b_c_jax, b_h_jax
+
+
+def _ml_curves(gt, gt_rows, orc, fsys, b_c_nat, b_c_jax, n_iter, lam):
+    from tomojax.fusion import poisson_ml_step_4d
+
+    xj = jnp.zeros((F_NEL, F_NSL, N, N), jnp.float32)
+    xn = np.zeros_like(gt_rows)
+    step = jax.jit(lambda x: poisson_ml_step_4d(x, b_c_jax, fsys, lam))
+    cj, cn, rj, rn = [], [], [], []
+    for _ in range(n_iter):
+        xj, c = step(xj)
+        cj.append(float(c))
+        rj.append(np.asarray(ops.rmse_per_element(xj, jnp.asarray(gt))))
+        xn, c2 = orc.poisson_ml(xn, b_c_nat, lam)
+        cn.append(c2)
+        rn.append(np.sqrt(((xn - gt_rows) ** 2).mean(axis=(1, 2))))
+    return xj, xn, *(np.array(v) for v in (cj, cn, rj, rn))
+
+
+def test_poisson_ml_4d_parity(fusion_setup):
+    """4D chem-only Poisson-ML (multimodal.cpp:277-304). L_Aps gap
+    jax 350.5 vs Siddon 352.3; measured curve gaps: cost 0.008
+    (normalized), per-element rmse 0.0014."""
+    gt, gt_rows, w, orc, fsys, b_c_nat, b_h_nat, b_c_jax, b_h_jax = fusion_setup
+    _, _, cj, cn, rj, rn = _ml_curves(
+        gt, gt_rows, orc, fsys, b_c_nat, b_c_jax, 12, 0.5
+    )
+    assert np.max(np.abs(cj / cj[0] - cn / cn[0])) < 0.02
+    assert np.max(np.abs(rj - rn)) < 0.005
+    assert cj[-1] < 0.9 * cj[0] and cn[-1] < 0.9 * cn[0]
+
+
+def test_rescale_projections_parity(fusion_setup):
+    """Per-HAADF-projection max-matching of bh to the model g
+    (multimodal.cpp:307-328). Compare the per-angle scale factors
+    gmax_a/bmax_a between engines; measured relative gap ~4% (the
+    factor is a ratio of operator outputs — Joseph vs Siddon row sums)."""
+    from tomojax.fusion import rescale_projections, rescale_tomograms
+
+    gt, gt_rows, w, orc, fsys, b_c_nat, b_h_nat, b_c_jax, b_h_jax = fusion_setup
+    xj, xn, *_ = _ml_curves(
+        gt, gt_rows, orc, fsys, b_c_nat, b_c_jax, 12, 0.5
+    )
+    xj10 = rescale_tomograms(xj, 10.0)
+    xn10 = xn * 10.0
+    bh_j = np.asarray(
+        jax.jit(lambda x, bh: rescale_projections(x, bh, fsys))(xj10, b_h_jax)
+    )
+    bh_n = orc.rescale_proj(xn10, b_h_nat)
+    # factors: one scalar per angle (max over slices x detector)
+    fj = bh_j.max(axis=(0, 2)) / np.asarray(b_h_jax).max(axis=(0, 2))
+    fn = (
+        bh_n.reshape(F_NSL, len(F_HANG), N).max(axis=(0, 2))
+        / b_h_nat.reshape(F_NSL, len(F_HANG), N).max(axis=(0, 2))
+    )
+    assert np.max(np.abs(fj / fn - 1.0)) < 0.1
+    assert fj.min() > 1.0  # the x10 rescale must actually inflate bh
+
+
+def test_data_fusion_parity(fusion_setup):
+    """Fused HAADF+chem update (multimodal.cpp:455-491 with the SIRT
+    `fuse` of :427-441), 8 iterations from the rescaled chem recon.
+    Measured gaps in the stable regime (lamH=0.02, lamC=0.05,
+    iterSIRT=2): costHAADF 8.3e-4, costCHEM 2.8e-4 (normalized),
+    per-element rmse 0.0076; both engines converge to 0.87x."""
+    from tomojax.fusion import (
+        data_fusion_step, rescale_projections, rescale_tomograms,
+    )
+
+    gt, gt_rows, w, orc, fsys, b_c_nat, b_h_nat, b_c_jax, b_h_jax = fusion_setup
+    xj, xn, *_ = _ml_curves(
+        gt, gt_rows, orc, fsys, b_c_nat, b_c_jax, 12, 0.5
+    )
+    xj = rescale_tomograms(xj, 10.0)
+    xn = xn * 10.0
+    bh_j = jax.jit(lambda x, bh: rescale_projections(x, bh, fsys))(xj, b_h_jax)
+    bh_n = orc.rescale_proj(xn, b_h_nat)
+
+    lam_h, lam_c, it = 0.02, 0.05, 2
+    step = jax.jit(
+        lambda x, bh: data_fusion_step(
+            x, bh, b_c_jax, fsys, lam_h, lam_c, it
+        )
+    )
+    chj, chn, ccj, ccn, rj, rn = [], [], [], [], [], []
+    gtj = jnp.asarray(gt) * 10.0
+    gt10 = gt_rows * 10.0
+    for _ in range(8):
+        xj, ch, cc = step(xj, bh_j)
+        chj.append(float(ch))
+        ccj.append(float(cc))
+        rj.append(np.asarray(ops.rmse_per_element(xj, gtj)))
+        xn, ch2, cc2 = orc.fuse_step(xn, bh_n, b_c_nat, lam_h, lam_c, it)
+        chn.append(ch2)
+        ccn.append(cc2)
+        rn.append(np.sqrt(((xn - gt10) ** 2).mean(axis=(1, 2))))
+    chj, chn, ccj, ccn, rj, rn = map(
+        np.array, (chj, chn, ccj, ccn, rj, rn)
+    )
+    assert np.max(np.abs(chj / chj[0] - chn / chn[0])) < 5e-3
+    assert np.max(np.abs(ccj / ccj[0] - ccn / ccn[0])) < 2e-3
+    assert np.max(np.abs(rj - rn)) < 0.03
+    # the fused update must actually reduce the HAADF cost in BOTH
+    assert chj[-1] < 0.9 * chj[0] and chn[-1] < 0.9 * chn[0]
