@@ -45,7 +45,7 @@ def main(markdown: bool = False):
     import jax
     import jax.numpy as jnp
     from tomojax.geometry import Geometry
-    from tomojax.solvers import make_system, fista_init, fista_run
+    from tomojax.solvers import make_system, fista_init_sl, fista_run_sl, to_sl
     from tomojax.sim import nanocube_phantom
     from tomojax.projector.joseph import fp
 
@@ -57,16 +57,18 @@ def main(markdown: bool = False):
     geom = Geometry.make(n, np.deg2rad(np.linspace(-76, 76, na)))
     sysd = make_system(geom)
     vol = jnp.asarray(nanocube_phantom(ns, n))
-    b = jax.jit(lambda v: fp(v, geom))(vol)
+    b = jax.jit(lambda v: to_sl(fp(v, geom)))(vol)
     jax.block_until_ready(b)
 
-    state = fista_init(jnp.zeros((ns, n, n), jnp.float32), sysd)
-    # All `iters` iterations in one scanned program (solvers.fista_run):
-    # measured 16.2 vs 18.7 ms/iter for the per-call loop on v5e (the
-    # per-dispatch host round-trip + inter-call pipeline bubble). The
-    # large one-time compile is absorbed by the persistent cache.
+    state = fista_init_sl(jnp.zeros((ns, n, n), jnp.float32), sysd)
+    # All `iters` iterations in one scanned program, in the slice-LAST
+    # layout (solvers.fista_run_sl): the kernels' native layout, so the
+    # loop carries zero HBM transposes and the SIRT update is fused into
+    # the BP kernel epilogue (15.2 vs 15.8 ms/iter slice-first scan vs
+    # 18.7 for the per-call host loop on v5e). The large one-time compile
+    # is absorbed by the persistent cache.
     run = jax.jit(
-        lambda st, b: fista_run(st, b, sysd, 0.1, iters, 10, True)
+        lambda st, b: fista_run_sl(st, b, sysd, 0.1, iters, 10, True)
     )
 
     # warmup/compile

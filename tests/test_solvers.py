@@ -266,3 +266,66 @@ def test_asd_pocs_fused_scan_matches_host_loop(tilt_problem):
     # the scan carries them in f32 — trajectories agree to that rounding
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), atol=2e-3)
     np.testing.assert_allclose(np.asarray(dd2), np.asarray(dds1), rtol=1e-3)
+
+
+def test_fista_sl_matches_slice_first():
+    """The slice-last fast path (zero in-loop layout transposes, SIRT
+    update fused into the BP kernel epilogue) is numerically the same
+    algorithm as fista_step: same iterates, same metrics."""
+    from tomojax.solvers import (
+        fista_init, fista_step, fista_init_sl, fista_run_sl, from_sl, to_sl,
+    )
+    from tomojax import config as tjconfig
+
+    ns, n, na = 8, 32, 15
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-70, 70, na)))
+    sysd = make_system(geom)
+    gt = jnp.asarray(np.stack([shepp_logan(n)] * ns), jnp.float32)
+    b = fp(gt, geom)
+
+    st = fista_init(jnp.zeros((ns, n, n), jnp.float32), sysd)
+    step = jax.jit(lambda s, bb: fista_step(s, bb, sysd, 0.05, 5, True))
+    ms = []
+    for _ in range(4):
+        st, m = step(st, b)
+        ms.append([float(v) for v in m])
+
+    # slice-first reference above ran whatever dispatch 'auto' picks on
+    # CPU (XLA ops, f32); the SL path runs interpret-mode pallas kernels —
+    # pin f32 duals so the comparison isn't dominated by the documented
+    # bf16 dual-storage knob (config.fgp_dual_dtype).
+    stl = fista_init_sl(jnp.zeros((ns, n, n), jnp.float32), sysd)
+    run = jax.jit(
+        lambda s, bb: fista_run_sl(s, bb, sysd, 0.05, 4, 5, True)
+    )
+    try:
+        tjconfig.set_tv_impl("auto", dual_dtype=jnp.float32)
+        stl, msl = run(stl, to_sl(b))
+    finally:
+        tjconfig.set_tv_impl("auto", dual_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(from_sl(stl.x)), np.asarray(st.x), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(msl), np.asarray(ms), rtol=2e-4)
+
+
+def test_bp_sirt_epilogue_matches_composition():
+    """bp_pallas_sl(y_vol=, inv_col2d=) == max(y + C * A^T r, 0)."""
+    from tomojax.projector.pallas_joseph import bp_pallas_sl
+    from tomojax.solvers import to_sl, from_sl
+    from tomojax.projector.joseph import bp
+
+    ns, n, na = 6, 32, 12
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-60, 60, na)))
+    sysd = make_system(geom)
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.normal(size=(ns, na, n)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(ns, n, n)).astype(np.float32))
+    ref = jnp.maximum(y + sysd.inv_col * bp(r, geom, mode="gather"), 0.0)
+    got = bp_pallas_sl(
+        to_sl(r), geom, interpret=True,
+        y_vol=to_sl(y), inv_col2d=sysd.inv_col[0],
+    )
+    np.testing.assert_allclose(
+        np.asarray(from_sl(got)), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )

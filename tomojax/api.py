@@ -304,6 +304,28 @@ class TomoTPU:
         st = fista_init(self.x, self.sys)
         self.cost = np.zeros(Niter, np.float32)
         if fused:
+            if self.mesh is None and momentum:
+                # single-device fast path: slice-last layout, fused BP
+                # epilogue (solvers/fista.py fista_run_sl). momentum=False
+                # is excluded — its scan compiles pathologically on v5e
+                # (185 ms/iter measured vs 15 with momentum).
+                from tomojax.solvers import (
+                    fista_init_sl, fista_run_sl, from_sl, to_sl,
+                )
+
+                stl = fista_init_sl(self.x, self.sys)
+                run = jax.jit(
+                    lambda st, b: fista_run_sl(
+                        st, b, self.sys, lambda_param, Niter, nTViter,
+                        momentum, compat, compute_metrics=show_convergence,
+                    )
+                )
+                stl, metrics = run(stl, to_sl(self.b))
+                if show_convergence:
+                    self.cost[:] = np.asarray(metrics)[:, 0]
+                self.x = from_sl(stl.x)
+                self.recon = None
+                return self
             from tomojax.solvers import fista_run
 
             run = jax.jit(

@@ -176,10 +176,15 @@ def _fp_kernel(n, nray, prec, cos_ref, sin_ref, invd_ref, img_ref, out_ref):
     out_ref[:] += contrib.reshape(a_blk, nray, s_blk)
 
 
-def fp_pallas(x, geom: Geometry, precision=None, a_blk: int = 16,
-              interpret: bool = False):
-    """Forward projection A x : (Ns, N, N) -> (Ns, Nproj, Nray)."""
-    ns, n, _ = x.shape
+def fp_pallas_sl(img, geom: Geometry, precision=None, a_blk: int = 16,
+                 interpret: bool = False):
+    """Slice-LAST forward projection: (N, N, Ns) -> (Nproj, Nray, Ns).
+
+    The kernel's native layout — `fp_pallas` is this plus the two public
+    layout transposes. Drivers that keep their whole state slice-last
+    (solvers/fista.py fista_run_sl) call this directly and skip ~4 full
+    volume/sinogram HBM transposes per iteration."""
+    n, _, ns = img.shape
     nray, na = geom.nray, geom.nproj
     prec = _kernel_precision(
         precision if precision is not None else tjconfig.pallas_precision
@@ -189,7 +194,7 @@ def fp_pallas(x, geom: Geometry, precision=None, a_blk: int = 16,
     na_pad = _round_up(na, a_blk)
     cos, sin, invd = _angle_tables(geom, na_pad)
 
-    img = _pad_axis(x.transpose(1, 2, 0), 2, ns_pad)  # (r, c, s)
+    img = _pad_axis(img, 2, ns_pad)  # (r, c, s)
     ang_spec = pl.BlockSpec((a_blk, 1), lambda a, s, k: (a, 0))
     out = pl.pallas_call(
         partial(_fp_kernel, n, nray, prec),
@@ -201,11 +206,19 @@ def fp_pallas(x, geom: Geometry, precision=None, a_blk: int = 16,
             pl.BlockSpec((1, n, s_blk), lambda a, s, k: (k, 0, s)),
         ],
         out_specs=pl.BlockSpec((a_blk, nray, s_blk), lambda a, s, k: (a, 0, s)),
-        out_shape=jax.ShapeDtypeStruct((na_pad, nray, ns_pad), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((na_pad, nray, ns_pad), img.dtype),
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(cos, sin, invd, img)
-    return out[:na, :, :ns].transpose(2, 0, 1)
+    return out[:na, :, :ns]
+
+
+def fp_pallas(x, geom: Geometry, precision=None, a_blk: int = 16,
+              interpret: bool = False):
+    """Forward projection A x : (Ns, N, N) -> (Ns, Nproj, Nray)."""
+    out = fp_pallas_sl(x.transpose(1, 2, 0), geom, precision, a_blk,
+                       interpret)
+    return out.transpose(2, 0, 1)
 
 
 def _bp_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref, out_ref):
@@ -236,12 +249,59 @@ def _bp_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref, out_ref):
     out_ref[:] += contrib.reshape(rb, n, s_blk)
 
 
-def bp_pallas(y, geom: Geometry, precision=None, rb: int = 32,
-              interpret: bool = False):
-    """Matched backprojection A^T y : (Ns, Nproj, Nray) -> (Ns, N, N)."""
-    ns, na, nray = y.shape
+def _bp_sirt_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref,
+                    yv_ref, ic_ref, out_ref):
+    """BP with the ASTRA-SIRT update fused as an epilogue:
+    out = max(y_vol + inv_col * A^T y, 0) — the separate XLA elementwise
+    pass costs ~1.5 ms of HBM round-trips at 256^3 on v5e (the BP output
+    volume is written, re-read, combined, re-written); here the combine
+    happens on the accumulator tile while it is still in VMEM."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _, _, s_blk = out_ref.shape
+    ck = cos_ref[0, k]
+    sk = sin_ref[0, k]
+    invd = invd_ref[0, k]
+    r = pl.program_id(0)
+    rows = (r * rb + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)).astype(jnp.float32)
+    yr = (n - 1) / 2.0 - rows
+    xc = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32) - (n - 1) / 2.0
+    off = (nray - 1) / 2.0
+    jstar = ck * xc + (sk * yr + off)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nray), 2).astype(jnp.float32)
+    w = (
+        jnp.maximum(
+            0.0, 1.0 - jnp.abs(iota_j - jstar[:, :, None]) * invd
+        )
+        * invd
+    )
+    contrib = _dot(w.reshape(rb * n, nray), y_ref[0], prec)
+    out_ref[:] += contrib.reshape(rb, n, s_blk)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = jnp.maximum(
+            yv_ref[:] + ic_ref[:][:, :, None] * out_ref[:], 0.0
+        )
+
+
+def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
+                 interpret: bool = False, y_vol=None, inv_col2d=None):
+    """Slice-LAST matched backprojection: (Nproj, Nray, Ns) -> (N, N, Ns).
+
+    With `y_vol` ((N, N, Ns)) and `inv_col2d` ((N, N), the SIRT column
+    weights shared across slices — System.inv_col[0]) the ASTRA-SIRT
+    update `max(y_vol + inv_col * A^T y, 0)` is fused into the kernel
+    epilogue on the VMEM accumulator tile (see _bp_sirt_kernel)."""
+    na, nray, ns = yt.shape
     n = geom.n
     assert na == geom.nproj and nray == geom.nray
+    fused = y_vol is not None
+    assert fused == (inv_col2d is not None)
     prec = _kernel_precision(
         precision if precision is not None else tjconfig.pallas_precision
     )
@@ -250,25 +310,45 @@ def bp_pallas(y, geom: Geometry, precision=None, rb: int = 32,
     na_pad = _round_up(na, 1)
     cos, sin, invd = _angle_tables(geom, na_pad)
 
-    yt = _pad_axis(_pad_axis(y.transpose(1, 2, 0), 2, ns_pad), 0, na_pad)
+    yt = _pad_axis(_pad_axis(yt, 2, ns_pad), 0, na_pad)
     n_pad = _round_up(n, rb)
     # full (1, Na) tables in SMEM, indexed by the angle grid position
     cos, sin, invd = (t.reshape(1, na_pad) for t in (cos, sin, invd))
     ang_spec = pl.BlockSpec(
         (1, na_pad), lambda r, s, k: (0, 0), memory_space=pltpu.SMEM
     )
-    out = pl.pallas_call(
-        partial(_bp_kernel, n, nray, rb, prec),
-        grid=(n_pad // rb, ns_pad // s_blk, na_pad),
-        in_specs=[
-            ang_spec,
-            ang_spec,
-            ang_spec,
-            pl.BlockSpec((1, nray, s_blk), lambda r, s, k: (k, 0, s)),
-        ],
-        out_specs=pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s)),
-        out_shape=jax.ShapeDtypeStruct((n_pad, n, ns_pad), y.dtype),
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-    )(cos, sin, invd, yt)
-    return out[:n, :, :ns].transpose(2, 0, 1)
+    sino_spec = pl.BlockSpec((1, nray, s_blk), lambda r, s, k: (k, 0, s))
+    out_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
+    if fused:
+        assert n_pad == n, "fused SIRT epilogue requires rb | N"
+        yv = _pad_axis(y_vol, 2, ns_pad)
+        vol_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
+        ic_spec = pl.BlockSpec((rb, n), lambda r, s, k: (r, 0))
+        out = pl.pallas_call(
+            partial(_bp_sirt_kernel, n, nray, rb, prec),
+            grid=(n_pad // rb, ns_pad // s_blk, na_pad),
+            in_specs=[ang_spec, ang_spec, ang_spec, sino_spec,
+                      vol_spec, ic_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, n, ns_pad), yt.dtype),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(cos, sin, invd, yt, yv, inv_col2d)
+    else:
+        out = pl.pallas_call(
+            partial(_bp_kernel, n, nray, rb, prec),
+            grid=(n_pad // rb, ns_pad // s_blk, na_pad),
+            in_specs=[ang_spec, ang_spec, ang_spec, sino_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, n, ns_pad), yt.dtype),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(cos, sin, invd, yt)
+    return out[:n, :, :ns]
+
+
+def bp_pallas(y, geom: Geometry, precision=None, rb: int = 32,
+              interpret: bool = False):
+    """Matched backprojection A^T y : (Ns, Nproj, Nray) -> (Ns, N, N)."""
+    out = bp_pallas_sl(y.transpose(1, 2, 0), geom, precision, rb, interpret)
+    return out.transpose(2, 0, 1)

@@ -143,3 +143,124 @@ def fista_run(
         return st, jnp.stack(m)
 
     return jax.lax.scan(body, state, None, length=n_iter)
+
+
+# ---------------------------------------------------------------------------
+# Slice-LAST fast path (single-device TPU): the Pallas projector kernels
+# natively work in (row, col, slice) / (angle, det, slice) layouts, so the
+# public slice-first API pays four full HBM layout transposes per FISTA
+# iteration (volume in/out of FP and BP, ~2.5 ms at 256^3 on v5e). This
+# driver keeps the ENTIRE state slice-last — zero transposes inside the
+# loop — and fuses the SIRT update max(y + C A^T r, 0) into the BP
+# kernel's VMEM epilogue (another ~1.5 ms of XLA elementwise round-trips).
+# Math is identical to fista_step: TV/FGP semantics are invariant under
+# axis permutation (same BC type on every axis), enforced by
+# tests/test_solvers.py::test_fista_sl_matches_slice_first.
+# ---------------------------------------------------------------------------
+
+
+class FistaStateSL(NamedTuple):
+    x: jnp.ndarray  # (N, N, Ns) slice-last
+    x_old: jnp.ndarray
+    yk: jnp.ndarray
+    t: jnp.ndarray
+    ax: jnp.ndarray  # (Na, Nt, Ns)
+    ay: jnp.ndarray
+
+
+def _interp() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def fista_init_sl(x0, sys: System) -> FistaStateSL:
+    """x0 in the public (Ns, N, N) layout; the state is slice-last."""
+    from tomojax.projector.pallas_joseph import fp_pallas_sl
+
+    xsl = jnp.transpose(jnp.asarray(x0, jnp.float32), (1, 2, 0))
+    ax = jax.jit(
+        lambda v: fp_pallas_sl(v, sys.geom, interpret=_interp())
+    )(xsl)
+    return FistaStateSL(x=xsl, x_old=xsl, yk=xsl, t=jnp.float32(1.0),
+                        ax=ax, ay=ax)
+
+
+def fista_step_sl(
+    state: FistaStateSL,
+    b_sl,
+    sys: System,
+    lam,
+    n_tv_iter: int = 10,
+    momentum: bool = True,
+    compat: str = "correct",
+    compute_metrics: bool = True,
+):
+    """One slice-last FISTA-TV iteration. b_sl: (Na, Nt, Ns) — transpose
+    the public sinogram ONCE outside the loop (`to_sl`)."""
+    from tomojax.projector.pallas_joseph import bp_pallas_sl, fp_pallas_sl
+    from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
+
+    geom = sys.geom
+    interp = _interp()
+    inv_row_sl = jnp.transpose(sys.inv_row, (1, 2, 0))  # (Na, Nt, 1)
+    ic2d = sys.inv_col[0]  # (N, N), shared across slices
+    y = state.yk if momentum else state.x
+    resid = (b_sl - state.ay) * inv_row_sl
+    # SIRT update fused into the BP epilogue: z = max(y + C A^T r, 0)
+    z = bp_pallas_sl(resid, geom, interpret=interp,
+                     y_vol=y, inv_col2d=ic2d)
+    if compat == "reference" and momentum:
+        x_new = z
+    else:
+        x_new, _ = tv_fgp_pallas_fused(z, n_tv_iter, lam, interpret=interp)
+    ax_new = fp_pallas_sl(x_new, geom, interpret=interp)
+    if momentum:
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state.t**2))
+        beta = (state.t - 1.0) / t_new
+        y_new = x_new + beta * (x_new - state.x_old)
+        ay_new = ax_new + beta * (ax_new - state.ax)
+        state = FistaStateSL(x=x_new, x_old=x_new, yk=y_new, t=t_new,
+                             ax=ax_new, ay=ay_new)
+    else:
+        state = FistaStateSL(x=x_new, x_old=state.x, yk=x_new, t=state.t,
+                             ax=ax_new, ay=ax_new)
+    if not compute_metrics:
+        z0 = jnp.float32(0.0)
+        return state, (z0, z0, z0)
+    r = ax_new - b_sl
+    dd = jnp.sqrt(jnp.sum(r * r))
+    tv_val = tvmod.tv(x_new)  # value is axis-permutation invariant
+    cost = 0.5 * dd**2 + lam * tv_val
+    return state, (cost, dd, tv_val)
+
+
+def fista_run_sl(
+    state: FistaStateSL,
+    b_sl,
+    sys: System,
+    lam,
+    n_iter: int,
+    n_tv_iter: int = 10,
+    momentum: bool = True,
+    compat: str = "correct",
+    compute_metrics: bool = True,
+):
+    """`n_iter` slice-last iterations as one scanned program (the bench /
+    TomoTPU.fista(fused=True) single-device fast path)."""
+
+    def body(st, _):
+        st, m = fista_step_sl(
+            st, b_sl, sys, lam, n_tv_iter, momentum, compat, compute_metrics
+        )
+        return st, jnp.stack(m)
+
+    return jax.lax.scan(body, state, None, length=n_iter)
+
+
+def to_sl(a):
+    """Public (Ns, ...) layout -> slice-last."""
+    return jnp.transpose(a, (1, 2, 0))
+
+
+def from_sl(a):
+    """Slice-last -> public (Ns, ...) layout."""
+    return jnp.transpose(a, (2, 0, 1))
