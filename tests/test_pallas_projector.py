@@ -159,3 +159,64 @@ def test_dispatch_sharded_pallas_via_config():
     finally:
         tjconfig.set_mesh(None)
         tjconfig.set_projector_mode("auto")
+
+
+def test_banded_kernels_match_dense():
+    """Tile-banded FP/BP (window tables + dynamic j-slices) == the dense
+    kernels, including the fused SIRT epilogue and non-multiple angle
+    counts. Interpret-mode; n=256 -> 2 c-tiles per row."""
+    from tomojax.projector.pallas_joseph import fp_pallas_sl, bp_pallas_sl
+
+    n, na, ns = 256, 21, 8
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-76, 76, na)))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, n, ns)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(na, n, ns)).astype(np.float32))
+    yv = jnp.asarray(rng.normal(size=(n, n, ns)).astype(np.float32))
+    ic = jnp.asarray(rng.random((n, n)).astype(np.float32))
+    try:
+        tjconfig.set_banded_projector("off")
+        fp_ref = fp_pallas_sl(x, geom, interpret=True)
+        bp_ref = bp_pallas_sl(y, geom, interpret=True)
+        bpf_ref = bp_pallas_sl(y, geom, interpret=True,
+                               y_vol=yv, inv_col2d=ic)
+        tjconfig.set_banded_projector("on")
+        fp_b = fp_pallas_sl(x, geom, interpret=True)
+        bp_b = bp_pallas_sl(y, geom, interpret=True)
+        bpf_b = bp_pallas_sl(y, geom, interpret=True,
+                             y_vol=yv, inv_col2d=ic)
+    finally:
+        tjconfig.set_banded_projector("auto")
+    np.testing.assert_allclose(np.asarray(fp_b), np.asarray(fp_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bp_b), np.asarray(bp_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bpf_b), np.asarray(bpf_ref),
+                               atol=2e-5)
+
+
+def test_band_windows_cover_support():
+    """Every nonzero Joseph weight lies inside its tile's j-window: the
+    window tables are a covering, so banding can never drop weight."""
+    from tomojax.projector.pallas_joseph import (
+        _band_windows_fp, _band_windows_bp, _BAND_CT, _round_up,
+    )
+
+    n, na = 256, 33
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-80, 80, na)))
+    a_blk = 16
+    na_pad = _round_up(na, a_blk)
+    j0f, jwf, nct = _band_windows_fp(geom, a_blk, na_pad, n)
+    j0f = np.asarray(j0f)
+    off = (geom.nray - 1) / 2.0
+    cols = np.arange(n) - (n - 1) / 2.0
+    for r in (0, 100, n - 1):
+        yr = (n - 1) / 2.0 - r
+        for a in range(na):
+            ab = a // a_blk
+            js = geom.cos[a] * cols + geom.sin[a] * yr + off  # (n,)
+            for t in range(nct):
+                seg = js[t * _BAND_CT:(t + 1) * _BAND_CT]
+                lo, hi = seg.min() - 1, seg.max() + 1
+                assert j0f[ab, r, t] <= max(np.floor(lo), 0)
+                assert j0f[ab, r, t] + jwf >= min(np.ceil(hi), geom.nray - 1)

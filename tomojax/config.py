@@ -98,6 +98,21 @@ def set_mesh(mesh) -> None:
     active_mesh = mesh
 
 
+# banded_projector: tile-band skipping in the Pallas projector kernels
+# (projector/pallas_joseph.py "Banded tiling"). 'auto' enables it when
+# the window math says the banded FLOPs are <= 3/4 of the dense kernel's
+# (true from n=256 with the default block sizes; ~2x fewer FLOPs at 512);
+# 'on' forces it whenever structurally legal; 'off' keeps the dense
+# kernels (exact-bitwise round-2 behavior).
+banded_projector: str = "auto"
+
+
+def set_banded_projector(mode: str) -> None:
+    global banded_projector
+    assert mode in ("auto", "on", "off"), mode
+    banded_projector = mode
+
+
 def set_projector_mode(mode: str, precision=None):
     global projector_mode, mxu_precision, pallas_precision
     assert mode in ("auto", "mxu", "gather", "pallas"), mode

@@ -153,6 +153,213 @@ def _compiler_params():
             return None
 
 
+# ---------------------------------------------------------------------------
+# Banded tiling (round-2 roofline follow-up, docs/ARCHITECTURE.md): the
+# interpolation matrix W[a, j, c] for one image row is a diagonal band of
+# slope cos_a and vertical thickness 2 D_a <= 2 in the (j, c) plane, so over
+# a 128-wide c-tile the nonzero j-window is at most |cos|*128 + 2 plus the
+# angle-block spread — bounded by ~(128 + spread + 2) INDEPENDENT of n.
+# The dense kernels build and contract the full (.., nt, n) W; the banded
+# kernels loop over c-tiles and touch only the j-window: FLOP ratio
+# (nct * JW * 128)/(n * nt) ~ JW/n — ~2x at n=512, ~4x at 1024.
+# Window offsets are precomputed host-side into SMEM tables (multiples of
+# 8 for sublane-aligned dynamic slices); JW is the static max window.
+# ---------------------------------------------------------------------------
+
+_BAND_CT = 128  # c-tile width (one MXU tile of the contraction dim)
+# Static tile unroll, A/B'd on v5e (min-of-3): fori wins for FP a_blk=16
+# (4.20/11.70 ms at 256/512 vs 4.26/14.16 unrolled); unroll only helped
+# the 512 FP a_blk=8 corner (11.04) and BP marginally (13.32 vs 13.86).
+# Keep the loop form; the flag preserves the measured alternative.
+_BAND_UNROLL = False
+
+
+def _band_windows_fp(geom: Geometry, a_blk: int, na_pad: int, n: int):
+    """j-window table for the FP kernel: j0[ab, r, t] (int32, multiples
+    of 8) and the static window width JW covering every (angle-in-block,
+    c-in-tile) pair with the +-1 hat support."""
+    ct = _BAND_CT
+    nct = n // ct
+    nab = na_pad // a_blk
+    off = (geom.nray - 1) / 2.0
+    cos = np.zeros(na_pad)
+    sin = np.zeros(na_pad)
+    cos[: geom.nproj] = geom.cos
+    sin[: geom.nproj] = geom.sin
+    # use each block's REAL angles only (padded angles have zero weight)
+    yr = (n - 1) / 2.0 - np.arange(n)  # (n,)
+    xe = np.stack(
+        [np.arange(nct) * ct, np.arange(nct) * ct + ct - 1]
+    ) - (n - 1) / 2.0  # (2, nct) tile corner columns
+    j0 = np.zeros((nab, n, nct), np.int32)
+    need = 0
+    for ab in range(nab):
+        lo_a = ab * a_blk
+        hi_a = min(lo_a + a_blk, geom.nproj)
+        if hi_a <= lo_a:  # block entirely padded
+            continue
+        c = cos[lo_a:hi_a]  # (A,)
+        s = sin[lo_a:hi_a]
+        base = c[:, None, None] * xe[None] + off  # (A, 2, nct)
+        rowterm = s[:, None] * yr[None, :]  # (A, n)
+        # jstar corners over (angle, tile-edge, row, tile): (A, 2, n, nct)
+        js = base[:, :, None, :] + rowterm[:, None, :, None]
+        lo = js.min(axis=(0, 1)) - 1.0  # (n, nct)
+        hi = js.max(axis=(0, 1)) + 1.0
+        j0_raw = (np.floor(lo).astype(np.int64) // 8) * 8
+        need = max(need, int((np.ceil(hi) - j0_raw + 1).max()))
+        j0[ab] = j0_raw
+    jw = min(-(-max(need, 8) // 8) * 8, _round_up(geom.nray, 8))
+    np.clip(j0, 0, max(geom.nray - jw, 0), out=j0)
+    return jnp.asarray(j0), jw, nct
+
+
+def _band_windows_bp(geom: Geometry, rb: int, n_pad: int, n: int):
+    """j-window table for the BP kernel: j0[a, rblock, t]."""
+    ct = _BAND_CT
+    nct = n // ct
+    nrb = n_pad // rb
+    off = (geom.nray - 1) / 2.0
+    yr = (n - 1) / 2.0 - np.arange(n_pad)  # padded rows clamp below
+    yre = np.stack(
+        [yr[np.arange(nrb) * rb], yr[np.arange(nrb) * rb + rb - 1]]
+    )  # (2, nrb)
+    xe = np.stack(
+        [np.arange(nct) * ct, np.arange(nct) * ct + ct - 1]
+    ) - (n - 1) / 2.0  # (2, nct)
+    c = geom.cos[:, None, None, None, None]  # (na, 1, 1, 1, 1)
+    s = geom.sin[:, None, None, None, None]
+    js = c * xe[None, None, None] + s * yre[None, :, :, None, None] + off
+    # (na, 2, nrb, 2, nct): corners over rows x cols
+    lo = js.min(axis=(1, 3)) - 1.0  # (na, nrb, nct)
+    hi = js.max(axis=(1, 3)) + 1.0
+    j0 = (np.floor(lo).astype(np.int64) // 8) * 8
+    need = int((np.ceil(hi) - j0 + 1).max())
+    jw = min(-(-max(need, 8) // 8) * 8, _round_up(geom.nray, 8))
+    j0 = np.clip(j0, 0, max(geom.nray - jw, 0)).astype(np.int32)
+    return jnp.asarray(j0), jw, nct
+
+
+def _use_banded(n: int, nray: int) -> bool:
+    """Structural preconditions for the banded kernels (the payoff
+    check is _band_enabled, after the window width is known)."""
+    if tjconfig.banded_projector == "off":
+        return False
+    return n % _BAND_CT == 0 and nray % 8 == 0
+
+
+def _band_enabled(jw: int, nct: int, nray: int, kind: str) -> bool:
+    """Measured payoff thresholds (v5e, min-of-3 slope timing; see
+    docs/ARCHITECTURE.md): FP banded wins from window ratio ~0.75
+    (1.23x at 256: 4.20 vs 5.15 ms; 1.49x at 512: 11.70 vs 17.43);
+    BP only from ~0.5 (neutral at 256 where jw/nt=0.56; 1.19x at 512
+    where 0.28) — BP's per-program cost is dominated by the hat build
+    over the full (rb, n) rows, which banding thins less."""
+    if jw > nray:
+        return False
+    if tjconfig.banded_projector == "on":
+        return True
+    if nct < 2:
+        return False
+    if kind == "fp":
+        return jw * 4 <= 3 * nray
+    return jw * 2 <= nray
+
+
+def _fp_banded_kernel(n, nray, jw, nct, unroll, prec, j0_ref, cos_ref,
+                      sin_ref, invd_ref, img_ref, out_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    a_blk, _, s_blk = out_ref.shape
+    ct = _BAND_CT
+    yr = (n - 1) / 2.0 - k.astype(jnp.float32)
+    off = (nray - 1) / 2.0
+    base = sin_ref[:] * yr + off  # (A_BLK, 1)
+    invd = invd_ref[:][:, :, None]  # (A_BLK, 1, 1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1).astype(jnp.float32)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, jw, 1), 1).astype(jnp.float32)
+
+    def tile(t, _):
+        j0 = pl.multiple_of(j0_ref[0, k, t], 8)
+        tc = float(t * ct) if isinstance(t, int) else (t * ct).astype(jnp.float32)
+        xc = iota_c + tc - (n - 1) / 2.0
+        jstar = cos_ref[:] * xc + base  # (A_BLK, CT)
+        jj = iota_j + j0.astype(jnp.float32)
+        w = (
+            jnp.maximum(0.0, 1.0 - jnp.abs(jj - jstar[:, None, :]) * invd)
+            * invd
+        )  # (A_BLK, JW, CT)
+        img_t = img_ref[0, pl.ds(t * ct, ct), :]  # (CT, S_BLK)
+        contrib = _dot(w.reshape(a_blk * jw, ct), img_t, prec)
+        idx = (slice(None), pl.ds(j0, jw), slice(None))
+        out_ref[idx] += contrib.reshape(a_blk, jw, s_blk)
+        return 0
+
+    if unroll:  # static tiles: only j0 stays dynamic
+        for t in range(nct):
+            tile(t, None)
+    else:
+        jax.lax.fori_loop(0, nct, tile, 0)
+
+
+def _bp_banded_kernel(n, nray, jw, nct, rb, fused, unroll, prec, j0_ref,
+                      cos_ref, sin_ref, invd_ref, y_ref, *rest):
+    if fused:
+        yv_ref, ic_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _, _, s_blk = out_ref.shape
+    ct = _BAND_CT
+    r = pl.program_id(0)
+    ck = cos_ref[0, k]
+    sk = sin_ref[0, k]
+    invd = invd_ref[0, k]
+    rows = (r * rb + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)).astype(jnp.float32)
+    yr = (n - 1) / 2.0 - rows  # (RB, 1)
+    off = (nray - 1) / 2.0
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1).astype(jnp.float32)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, jw), 2).astype(jnp.float32)
+
+    def tile(t, _):
+        j0 = pl.multiple_of(j0_ref[0, k, t], 8)
+        tc = float(t * ct) if isinstance(t, int) else (t * ct).astype(jnp.float32)
+        xc = iota_c + tc - (n - 1) / 2.0
+        jstar = ck * xc + (sk * yr + off)  # (RB, CT)
+        jj = iota_j + j0.astype(jnp.float32)
+        w = (
+            jnp.maximum(0.0, 1.0 - jnp.abs(jj - jstar[:, :, None]) * invd)
+            * invd
+        )  # (RB, CT, JW)
+        y_sub = y_ref[0, pl.ds(j0, jw), :]  # (JW, S_BLK)
+        contrib = _dot(w.reshape(rb * ct, jw), y_sub, prec)
+        idx = (slice(None), pl.ds(t * ct, ct), slice(None))
+        out_ref[idx] += contrib.reshape(rb, ct, s_blk)
+        return 0
+
+    if unroll:  # static tiles: only j0 stays dynamic
+        for t in range(nct):
+            tile(t, None)
+    else:
+        jax.lax.fori_loop(0, nct, tile, 0)
+
+    if fused:
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            out_ref[:] = jnp.maximum(
+                yv_ref[:] + ic_ref[:][:, :, None] * out_ref[:], 0.0
+            )
+
+
 def _fp_kernel(n, nray, prec, cos_ref, sin_ref, invd_ref, img_ref, out_ref):
     k = pl.program_id(2)
 
@@ -196,17 +403,37 @@ def fp_pallas_sl(img, geom: Geometry, precision=None, a_blk: int = 16,
 
     img = _pad_axis(img, 2, ns_pad)  # (r, c, s)
     ang_spec = pl.BlockSpec((a_blk, 1), lambda a, s, k: (a, 0))
+    img_spec = pl.BlockSpec((1, n, s_blk), lambda a, s, k: (k, 0, s))
+    out_spec = pl.BlockSpec((a_blk, nray, s_blk), lambda a, s, k: (a, 0, s))
+    out_shape = jax.ShapeDtypeStruct((na_pad, nray, ns_pad), img.dtype)
+    grid = (na_pad // a_blk, ns_pad // s_blk, n)
+    if _use_banded(n, nray):
+        j0, jw, nct = _band_windows_fp(geom, a_blk, na_pad, n)
+        if _band_enabled(jw, nct, nray, "fp"):
+            # SMEM blocks must span the trailing dims on TPU: ship the
+            # whole (rows x tiles) table for the angle block (n*nct i32,
+            # ~2 KB) and index by the row program id in-kernel.
+            j0_spec = pl.BlockSpec(
+                (1, n, nct), lambda a, s, k: (a, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+            out = pl.pallas_call(
+                partial(_fp_banded_kernel, n, nray, jw, nct, _BAND_UNROLL,
+                        prec),
+                grid=grid,
+                in_specs=[j0_spec, ang_spec, ang_spec, ang_spec, img_spec],
+                out_specs=out_spec,
+                out_shape=out_shape,
+                compiler_params=_compiler_params(),
+                interpret=interpret,
+            )(j0, cos, sin, invd, img)
+            return out[:na, :, :ns]
     out = pl.pallas_call(
         partial(_fp_kernel, n, nray, prec),
-        grid=(na_pad // a_blk, ns_pad // s_blk, n),
-        in_specs=[
-            ang_spec,
-            ang_spec,
-            ang_spec,
-            pl.BlockSpec((1, n, s_blk), lambda a, s, k: (k, 0, s)),
-        ],
-        out_specs=pl.BlockSpec((a_blk, nray, s_blk), lambda a, s, k: (a, 0, s)),
-        out_shape=jax.ShapeDtypeStruct((na_pad, nray, ns_pad), img.dtype),
+        grid=grid,
+        in_specs=[ang_spec, ang_spec, ang_spec, img_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(cos, sin, invd, img)
@@ -319,28 +546,63 @@ def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
     )
     sino_spec = pl.BlockSpec((1, nray, s_blk), lambda r, s, k: (k, 0, s))
     out_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
+    out_shape = jax.ShapeDtypeStruct((n_pad, n, ns_pad), yt.dtype)
+    grid = (n_pad // rb, ns_pad // s_blk, na_pad)
+    vol_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
+    ic_spec = pl.BlockSpec((rb, n), lambda r, s, k: (r, 0))
     if fused:
         assert n_pad == n, "fused SIRT epilogue requires rb | N"
         yv = _pad_axis(y_vol, 2, ns_pad)
-        vol_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
-        ic_spec = pl.BlockSpec((rb, n), lambda r, s, k: (r, 0))
+    if _use_banded(n, nray):
+        j0, jw, nct = _band_windows_bp(geom, rb, n_pad, n)
+        if _band_enabled(jw, nct, nray, "bp"):
+            j0 = jnp.transpose(j0, (1, 0, 2))  # (nrb, na, nct): SMEM
+            # blocks must span the trailing dims; index by angle in-kernel
+            j0_spec = pl.BlockSpec(
+                (1, na_pad, nct), lambda r, s, k: (r, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+            kern = partial(
+                _bp_banded_kernel, n, nray, jw, nct, rb, fused,
+                _BAND_UNROLL, prec,
+            )
+            if fused:
+                out = pl.pallas_call(
+                    kern, grid=grid,
+                    in_specs=[j0_spec, ang_spec, ang_spec, ang_spec,
+                              sino_spec, vol_spec, ic_spec],
+                    out_specs=out_spec, out_shape=out_shape,
+                    compiler_params=_compiler_params(),
+                    interpret=interpret,
+                )(j0, cos, sin, invd, yt, yv, inv_col2d)
+            else:
+                out = pl.pallas_call(
+                    kern, grid=grid,
+                    in_specs=[j0_spec, ang_spec, ang_spec, ang_spec,
+                              sino_spec],
+                    out_specs=out_spec, out_shape=out_shape,
+                    compiler_params=_compiler_params(),
+                    interpret=interpret,
+                )(j0, cos, sin, invd, yt)
+            return out[:n, :, :ns]
+    if fused:
         out = pl.pallas_call(
             partial(_bp_sirt_kernel, n, nray, rb, prec),
-            grid=(n_pad // rb, ns_pad // s_blk, na_pad),
+            grid=grid,
             in_specs=[ang_spec, ang_spec, ang_spec, sino_spec,
                       vol_spec, ic_spec],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((n_pad, n, ns_pad), yt.dtype),
+            out_shape=out_shape,
             compiler_params=_compiler_params(),
             interpret=interpret,
         )(cos, sin, invd, yt, yv, inv_col2d)
     else:
         out = pl.pallas_call(
             partial(_bp_kernel, n, nray, rb, prec),
-            grid=(n_pad // rb, ns_pad // s_blk, na_pad),
+            grid=grid,
             in_specs=[ang_spec, ang_spec, ang_spec, sino_spec],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((n_pad, n, ns_pad), yt.dtype),
+            out_shape=out_shape,
             compiler_params=_compiler_params(),
             interpret=interpret,
         )(cos, sin, invd, yt)
