@@ -60,7 +60,7 @@ def main(markdown: bool = False):
     b = jax.jit(lambda v: to_sl(fp(v, geom)))(vol)
     jax.block_until_ready(b)
 
-    state = fista_init_sl(jnp.zeros((ns, n, n), jnp.float32), sysd)
+    state = fista_init_sl(jnp.zeros((ns, n, n), jnp.float32), sysd, b)
     # All `iters` iterations in one scanned program, in the slice-LAST
     # layout (solvers.fista_run_sl): the kernels' native layout, so the
     # loop carries zero HBM transposes and the SIRT update is fused into

@@ -264,3 +264,24 @@ def test_sharded_tvgd_dispatch_via_config():
         tjconfig.set_tv_impl("auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-5, atol=3e-6)
+
+
+def test_tv_value_kernel_matches_stencil():
+    """One-pass Pallas TV value == the XLA stencil (periodic, eps=1e-6),
+    3D and 4D, including the z-wrap at the last plane block."""
+    from tomojax.tv.pallas_tv_value import tv_value_pallas
+
+    rng = np.random.default_rng(13)
+    x3 = jnp.asarray(rng.normal(size=(16, 16, 16)).astype(np.float32))
+    ref3 = float(tvmod.tv(x3))
+    got3 = float(tv_value_pallas(x3, interpret=True))
+    assert np.isclose(got3, ref3, rtol=1e-6)
+    x4 = jnp.asarray(rng.normal(size=(3, 8, 16, 16)).astype(np.float32))
+    ref4 = float(tvmod.tv(x4))
+    got4 = float(tv_value_pallas(x4, interpret=True))
+    assert np.isclose(got4, ref4, rtol=5e-6)
+    # wrap sensitivity: change ONLY plane 0, TV at plane nz-1 must move
+    x3b = x3.at[0].add(1.0)
+    d_ref = float(tvmod.tv(x3b)) - ref3
+    d_got = float(tv_value_pallas(x3b, interpret=True)) - got3
+    assert np.isclose(d_got, d_ref, rtol=1e-4)

@@ -294,7 +294,7 @@ def test_fista_sl_matches_slice_first():
     # CPU (XLA ops, f32); the SL path runs interpret-mode pallas kernels —
     # pin f32 duals so the comparison isn't dominated by the documented
     # bf16 dual-storage knob (config.fgp_dual_dtype).
-    stl = fista_init_sl(jnp.zeros((ns, n, n), jnp.float32), sysd)
+    stl = fista_init_sl(jnp.zeros((ns, n, n), jnp.float32), sysd, to_sl(b))
     run = jax.jit(
         lambda s, bb: fista_run_sl(s, bb, sysd, 0.05, 4, 5, True)
     )

@@ -313,14 +313,15 @@ class TomoTPU:
                     fista_init_sl, fista_run_sl, from_sl, to_sl,
                 )
 
-                stl = fista_init_sl(self.x, self.sys)
+                b_sl = to_sl(self.b)
+                stl = fista_init_sl(self.x, self.sys, b_sl)
                 run = jax.jit(
                     lambda st, b: fista_run_sl(
                         st, b, self.sys, lambda_param, Niter, nTViter,
                         momentum, compat, compute_metrics=show_convergence,
                     )
                 )
-                stl, metrics = run(stl, to_sl(self.b))
+                stl, metrics = run(stl, b_sl)
                 if show_convergence:
                     self.cost[:] = np.asarray(metrics)[:, 0]
                 self.x = from_sl(stl.x)

@@ -448,6 +448,112 @@ def fp_pallas(x, geom: Geometry, precision=None, a_blk: int = 16,
     return out.transpose(2, 0, 1)
 
 
+def _fp_resid_epilogue(b_ref, axold_ref, invrow_ref, beta_ref,
+                       ax_ref, resid_ref):
+    """ax accumulated; emit resid = (b - (ax + beta (ax - ax_old))) R —
+    the NEXT iteration's weighted residual of the momentum variable
+    (FISTA projection-reuse identity: A y = A x + beta (A x - A x_old))."""
+    ax = ax_ref[:]
+    beta = beta_ref[0, 0]
+    ay = ax + beta * (ax - axold_ref[:])
+    resid_ref[:] = (b_ref[:] - ay) * invrow_ref[:][:, :, None]
+
+
+def _fp_resid_kernel(n, nray, prec, cos_ref, sin_ref, invd_ref, img_ref,
+                     b_ref, axold_ref, invrow_ref, beta_ref,
+                     ax_ref, resid_ref):
+    _fp_kernel(n, nray, prec, cos_ref, sin_ref, invd_ref, img_ref, ax_ref)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        _fp_resid_epilogue(b_ref, axold_ref, invrow_ref, beta_ref,
+                           ax_ref, resid_ref)
+
+
+def _fp_resid_banded_kernel(n, nray, jw, nct, unroll, prec, j0_ref,
+                            cos_ref, sin_ref, invd_ref, img_ref,
+                            b_ref, axold_ref, invrow_ref, beta_ref,
+                            ax_ref, resid_ref):
+    _fp_banded_kernel(n, nray, jw, nct, unroll, prec, j0_ref, cos_ref,
+                      sin_ref, invd_ref, img_ref, ax_ref)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        _fp_resid_epilogue(b_ref, axold_ref, invrow_ref, beta_ref,
+                           ax_ref, resid_ref)
+
+
+def fp_resid_pallas_sl(x, geom: Geometry, b_pad, ax_old_pad, inv_row_pad,
+                       beta, precision=None, a_blk: int = 16,
+                       interpret: bool = False):
+    """FP with the FISTA residual fused as an epilogue. All sinogram
+    operands and BOTH outputs use the PADDED (na_pad, nray, ns_pad)
+    layout (na_pad = round_up(nproj, a_blk)) so the scan carries no
+    per-iteration pad/slice copies; padded rows of `inv_row_pad` must be
+    zero (making padded resid rows zero — weightless in BP anyway).
+
+    Returns (ax_pad, resid_pad):
+        ax    = A x                       (padded rows = 0)
+        resid = (b - (ax + beta (ax - ax_old))) * inv_row
+    """
+    n, _, ns = x.shape
+    nray, na = geom.nray, geom.nproj
+    prec = _kernel_precision(
+        precision if precision is not None else tjconfig.pallas_precision
+    )
+    s_blk = _slice_block(ns)
+    ns_pad = _round_up(ns, s_blk)
+    na_pad = _round_up(na, a_blk)
+    assert b_pad.shape == (na_pad, nray, ns_pad), (b_pad.shape, na_pad)
+    assert ax_old_pad.shape == b_pad.shape
+    assert inv_row_pad.shape == (na_pad, nray)
+    cos, sin, invd = _angle_tables(geom, na_pad)
+    img = _pad_axis(x, 2, ns_pad)
+    beta_arr = jnp.reshape(jnp.asarray(beta, jnp.float32), (1, 1))
+
+    ang_spec = pl.BlockSpec((a_blk, 1), lambda a, s, k: (a, 0))
+    img_spec = pl.BlockSpec((1, n, s_blk), lambda a, s, k: (k, 0, s))
+    sino_spec = pl.BlockSpec((a_blk, nray, s_blk), lambda a, s, k: (a, 0, s))
+    ir_spec = pl.BlockSpec((a_blk, nray), lambda a, s, k: (a, 0))
+    beta_spec = pl.BlockSpec(
+        (1, 1), lambda a, s, k: (0, 0), memory_space=pltpu.SMEM
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((na_pad, nray, ns_pad), x.dtype),
+        jax.ShapeDtypeStruct((na_pad, nray, ns_pad), x.dtype),
+    )
+    grid = (na_pad // a_blk, ns_pad // s_blk, n)
+    if _use_banded(n, nray):
+        j0, jw, nct = _band_windows_fp(geom, a_blk, na_pad, n)
+        if _band_enabled(jw, nct, nray, "fp"):
+            j0_spec = pl.BlockSpec(
+                (1, n, nct), lambda a, s, k: (a, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+            return pl.pallas_call(
+                partial(_fp_resid_banded_kernel, n, nray, jw, nct,
+                        _BAND_UNROLL, prec),
+                grid=grid,
+                in_specs=[j0_spec, ang_spec, ang_spec, ang_spec, img_spec,
+                          sino_spec, sino_spec, ir_spec, beta_spec],
+                out_specs=(sino_spec, sino_spec),
+                out_shape=out_shape,
+                compiler_params=_compiler_params(),
+                interpret=interpret,
+            )(j0, cos, sin, invd, img, b_pad, ax_old_pad, inv_row_pad,
+              beta_arr)
+    return pl.pallas_call(
+        partial(_fp_resid_kernel, n, nray, prec),
+        grid=grid,
+        in_specs=[ang_spec, ang_spec, ang_spec, img_spec,
+                  sino_spec, sino_spec, ir_spec, beta_spec],
+        out_specs=(sino_spec, sino_spec),
+        out_shape=out_shape,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(cos, sin, invd, img, b_pad, ax_old_pad, inv_row_pad, beta_arr)
+
+
 def _bp_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref, out_ref):
     r = pl.program_id(0)
     k = pl.program_id(2)

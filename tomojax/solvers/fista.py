@@ -164,29 +164,59 @@ class FistaStateSL(NamedTuple):
     x_old: jnp.ndarray
     yk: jnp.ndarray
     t: jnp.ndarray
-    ax: jnp.ndarray  # (Na, Nt, Ns)
-    ay: jnp.ndarray
+    ax: jnp.ndarray  # (Na_pad, Nt, Ns_pad) — PADDED model projections
+    resid: jnp.ndarray  # (Na_pad, Nt, Ns_pad): (b - A yk) * inv_row
 
 
 def _interp() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def fista_init_sl(x0, sys: System) -> FistaStateSL:
-    """x0 in the public (Ns, N, N) layout; the state is slice-last."""
-    from tomojax.projector.pallas_joseph import fp_pallas_sl
+def _sl_pads(sys: System, ns: int, a_blk: int = 16):
+    from tomojax.projector.pallas_joseph import _round_up, _slice_block
+
+    na_pad = _round_up(sys.geom.nproj, a_blk)
+    ns_pad = _round_up(ns, _slice_block(ns))
+    return na_pad, ns_pad
+
+
+def _pad_sino_sl(b_sl, sys: System):
+    na, nt, ns = b_sl.shape
+    na_pad, ns_pad = _sl_pads(sys, ns)
+    return jnp.pad(b_sl, ((0, na_pad - na), (0, 0), (0, ns_pad - ns)))
+
+
+def _inv_row_pad(sys: System):
+    ir = sys.inv_row[0]  # (Na, Nt)
+    na_pad, _ = _sl_pads(sys, 1)
+    return jnp.pad(ir, ((0, na_pad - ir.shape[0]), (0, 0)))
+
+
+def fista_init_sl(x0, sys: System, b_sl) -> FistaStateSL:
+    """x0 in the public (Ns, N, N) layout, b_sl the slice-last sinogram
+    (`to_sl(b)`); the state is slice-last with PADDED projection-space
+    fields (the scan then carries no per-iteration pad/slice copies)."""
+    from tomojax.projector.pallas_joseph import fp_resid_pallas_sl
 
     xsl = jnp.transpose(jnp.asarray(x0, jnp.float32), (1, 2, 0))
-    ax = jax.jit(
-        lambda v: fp_pallas_sl(v, sys.geom, interpret=_interp())
-    )(xsl)
+
+    @jax.jit
+    def init(xsl, b_sl):
+        b_pad = _pad_sino_sl(b_sl, sys)
+        ax, resid = fp_resid_pallas_sl(
+            xsl, sys.geom, b_pad, jnp.zeros_like(b_pad), _inv_row_pad(sys),
+            jnp.float32(0.0), interpret=_interp(),
+        )
+        return ax, resid
+
+    ax, resid = init(xsl, b_sl)
     return FistaStateSL(x=xsl, x_old=xsl, yk=xsl, t=jnp.float32(1.0),
-                        ax=ax, ay=ax)
+                        ax=ax, resid=resid)
 
 
 def fista_step_sl(
     state: FistaStateSL,
-    b_sl,
+    b_pad,
     sys: System,
     lam,
     n_tv_iter: int = 10,
@@ -194,39 +224,50 @@ def fista_step_sl(
     compat: str = "correct",
     compute_metrics: bool = True,
 ):
-    """One slice-last FISTA-TV iteration. b_sl: (Na, Nt, Ns) — transpose
-    the public sinogram ONCE outside the loop (`to_sl`)."""
-    from tomojax.projector.pallas_joseph import bp_pallas_sl, fp_pallas_sl
+    """One slice-last FISTA-TV iteration. b_pad: the PADDED slice-last
+    sinogram (`_pad_sino_sl(to_sl(b), sys)` — fista_run_sl does this)."""
+    from tomojax.projector.pallas_joseph import (
+        bp_pallas_sl, fp_resid_pallas_sl,
+    )
     from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
 
     geom = sys.geom
     interp = _interp()
-    inv_row_sl = jnp.transpose(sys.inv_row, (1, 2, 0))  # (Na, Nt, 1)
     ic2d = sys.inv_col[0]  # (N, N), shared across slices
+    na = geom.nproj
+    ns = state.x.shape[-1]
     y = state.yk if momentum else state.x
-    resid = (b_sl - state.ay) * inv_row_sl
-    # SIRT update fused into the BP epilogue: z = max(y + C A^T r, 0)
-    z = bp_pallas_sl(resid, geom, interpret=interp,
+    # SIRT update fused into the BP epilogue: z = max(y + C A^T r, 0);
+    # the carried resid is already (b - A y) * inv_row (FP epilogue)
+    z = bp_pallas_sl(state.resid[:na, :, :ns], geom, interpret=interp,
                      y_vol=y, inv_col2d=ic2d)
     if compat == "reference" and momentum:
         x_new = z
     else:
         x_new, _ = tv_fgp_pallas_fused(z, n_tv_iter, lam, interpret=interp)
-    ax_new = fp_pallas_sl(x_new, geom, interpret=interp)
     if momentum:
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state.t**2))
         beta = (state.t - 1.0) / t_new
-        y_new = x_new + beta * (x_new - state.x_old)
-        ay_new = ax_new + beta * (ax_new - state.ax)
-        state = FistaStateSL(x=x_new, x_old=x_new, yk=y_new, t=t_new,
-                             ax=ax_new, ay=ay_new)
     else:
-        state = FistaStateSL(x=x_new, x_old=state.x, yk=x_new, t=state.t,
-                             ax=ax_new, ay=ax_new)
+        t_new = state.t
+        beta = jnp.float32(0.0)
+    # FP with the NEXT residual fused as an epilogue:
+    # resid_new = (b - (ax_new + beta (ax_new - ax_old))) * inv_row
+    ax_new, resid_new = fp_resid_pallas_sl(
+        x_new, geom, b_pad, state.ax, _inv_row_pad(sys), beta,
+        interpret=interp,
+    )
+    if momentum:
+        y_new = x_new + beta * (x_new - state.x_old)
+        state = FistaStateSL(x=x_new, x_old=x_new, yk=y_new, t=t_new,
+                             ax=ax_new, resid=resid_new)
+    else:
+        state = FistaStateSL(x=x_new, x_old=state.x, yk=x_new, t=t_new,
+                             ax=ax_new, resid=resid_new)
     if not compute_metrics:
         z0 = jnp.float32(0.0)
         return state, (z0, z0, z0)
-    r = ax_new - b_sl
+    r = ax_new - b_pad  # padded rows are 0 in both
     dd = jnp.sqrt(jnp.sum(r * r))
     tv_val = tvmod.tv(x_new)  # value is axis-permutation invariant
     cost = 0.5 * dd**2 + lam * tv_val
@@ -246,10 +287,11 @@ def fista_run_sl(
 ):
     """`n_iter` slice-last iterations as one scanned program (the bench /
     TomoTPU.fista(fused=True) single-device fast path)."""
+    b_pad = _pad_sino_sl(b_sl, sys)
 
     def body(st, _):
         st, m = fista_step_sl(
-            st, b_sl, sys, lam, n_tv_iter, momentum, compat, compute_metrics
+            st, b_pad, sys, lam, n_tv_iter, momentum, compat, compute_metrics
         )
         return st, jnp.stack(m)
 

@@ -44,7 +44,16 @@ def tv(x):
     """Isotropic TV value with periodic BCs (tv_gd.cu:27-47).
 
     x: (..., nx, ny, nz) — reduces over the last three axes and any batch.
+    On a single-device TPU backend 3D/4D inputs route to the one-pass
+    Pallas kernel (tv/pallas_tv_value.py, ~1e-6-relative reduction-order
+    difference); the XLA stencil remains the sharded/CPU path.
     """
+    from tomojax import config as tjconfig
+
+    if x.ndim in (3, 4) and tjconfig.use_pallas_tv():
+        from tomojax.tv.pallas_tv_value import tv_value_pallas
+
+        return tv_value_pallas(x)
     a = x.ndim
     ip = _roll3(x, -1, a - 3)
     jp = _roll3(x, -1, a - 2)
