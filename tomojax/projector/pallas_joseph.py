@@ -554,6 +554,60 @@ def fp_resid_pallas_sl(x, geom: Geometry, b_pad, ax_old_pad, inv_row_pad,
     )(cos, sin, invd, img, b_pad, ax_old_pad, inv_row_pad, beta_arr)
 
 
+def _bp_kernel_ab(n, nray, rb, ab, fused, prec, cos_ref, sin_ref, invd_ref,
+                  y_ref, *rest):
+    """Angle-blocked dense BP: each grid step accumulates `ab` angles,
+    amortizing per-program overhead. MEASURED SLOWER on v5e (min-of-3
+    slope, 90 angles): 4.85 -> 6.8/6.6/6.3 ms at 256^3 for ab=3/6/10,
+    16.3 -> 21.3/20.6/20.6 ms at 512^2x128 — the in-kernel fori over
+    angles serializes what Mosaic otherwise overlaps across grid steps
+    (sinogram block prefetch + W build + MXU). Kept opt-in (ab>1) so the
+    negative result is reproducible; default dispatch never uses it."""
+    if fused:
+        yv_ref, ic_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    r = pl.program_id(0)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _, _, s_blk = out_ref.shape
+    rows = (r * rb + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)).astype(jnp.float32)
+    yr = (n - 1) / 2.0 - rows
+    xc = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32) - (n - 1) / 2.0
+    off = (nray - 1) / 2.0
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nray), 2).astype(jnp.float32)
+
+    def body(a, acc):
+        idx = k * ab + a
+        ck = cos_ref[0, idx]
+        sk = sin_ref[0, idx]
+        invd = invd_ref[0, idx]
+        jstar = ck * xc + (sk * yr + off)
+        w = (
+            jnp.maximum(
+                0.0, 1.0 - jnp.abs(iota_j - jstar[:, :, None]) * invd
+            )
+            * invd
+        )
+        return acc + _dot(w.reshape(rb * n, nray), y_ref[a], prec)
+
+    acc = jax.lax.fori_loop(
+        0, ab, body, jnp.zeros((rb * n, s_blk), jnp.float32)
+    )
+    out_ref[:] += acc.reshape(rb, n, s_blk)
+
+    if fused:
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            out_ref[:] = jnp.maximum(
+                yv_ref[:] + ic_ref[:][:, :, None] * out_ref[:], 0.0
+            )
+
+
 def _bp_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref, out_ref):
     r = pl.program_id(0)
     k = pl.program_id(2)
@@ -623,13 +677,16 @@ def _bp_sirt_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref,
 
 
 def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
-                 interpret: bool = False, y_vol=None, inv_col2d=None):
+                 interpret: bool = False, y_vol=None, inv_col2d=None,
+                 ab: int = 1):
     """Slice-LAST matched backprojection: (Nproj, Nray, Ns) -> (N, N, Ns).
 
     With `y_vol` ((N, N, Ns)) and `inv_col2d` ((N, N), the SIRT column
     weights shared across slices — System.inv_col[0]) the ASTRA-SIRT
     update `max(y_vol + inv_col * A^T y, 0)` is fused into the kernel
-    epilogue on the VMEM accumulator tile (see _bp_sirt_kernel)."""
+    epilogue on the VMEM accumulator tile (see _bp_sirt_kernel).
+
+    ab > 1 accumulates `ab` angles per grid step (dense kernel only)."""
     na, nray, ns = yt.shape
     n = geom.n
     assert na == geom.nproj and nray == geom.nray
@@ -640,7 +697,7 @@ def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
     )
     s_blk = _slice_block(ns)
     ns_pad = _round_up(ns, s_blk)
-    na_pad = _round_up(na, 1)
+    na_pad = _round_up(na, ab)
     cos, sin, invd = _angle_tables(geom, na_pad)
 
     yt = _pad_axis(_pad_axis(yt, 2, ns_pad), 0, na_pad)
@@ -651,6 +708,26 @@ def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
         (1, na_pad), lambda r, s, k: (0, 0), memory_space=pltpu.SMEM
     )
     sino_spec = pl.BlockSpec((1, nray, s_blk), lambda r, s, k: (k, 0, s))
+    if ab > 1:
+        sino_ab_spec = pl.BlockSpec(
+            (ab, nray, s_blk), lambda r, s, k: (k, 0, s)
+        )
+        yv = _pad_axis(y_vol, 2, ns_pad) if fused else None
+        out_shape = jax.ShapeDtypeStruct((n_pad, n, ns_pad), yt.dtype)
+        out_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
+        vol_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
+        ic_spec = pl.BlockSpec((rb, n), lambda r, s, k: (r, 0))
+        kern = partial(_bp_kernel_ab, n, nray, rb, ab, fused, prec)
+        args = [cos, sin, invd, yt] + ([yv, inv_col2d] if fused else [])
+        specs = [ang_spec, ang_spec, ang_spec, sino_ab_spec] + (
+            [vol_spec, ic_spec] if fused else []
+        )
+        out = pl.pallas_call(
+            kern, grid=(n_pad // rb, ns_pad // s_blk, na_pad // ab),
+            in_specs=specs, out_specs=out_spec, out_shape=out_shape,
+            compiler_params=_compiler_params(), interpret=interpret,
+        )(*args)
+        return out[:n, :, :ns]
     out_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
     out_shape = jax.ShapeDtypeStruct((n_pad, n, ns_pad), yt.dtype)
     grid = (n_pad // rb, ns_pad // s_blk, na_pad)
