@@ -285,3 +285,32 @@ def test_tv_value_kernel_matches_stencil():
     d_ref = float(tvmod.tv(x3b)) - ref3
     d_got = float(tv_value_pallas(x3b, interpret=True)) - got3
     assert np.isclose(d_got, d_ref, rtol=1e-4)
+
+
+def test_sharded_4d_tv_fast_paths():
+    """4D chemistry TV (FGP + GD) on a slice-axis-sharded stack routes
+    through the element-mapped shard_map kernels and matches the
+    unsharded XLA result (the reference's multi-GPU per-element 4D TV,
+    chemistry tv_fgp.cu:192-287 / multigpufusion.cpp)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tomojax import dist
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.normal(size=(3, 16, 16, 16)).astype(np.float32)) + 0.5
+    ref_f, tvf = tvmod.tv_fgp_4d(x, 4, 0.15)
+    ref_g, tvg = tvmod.tv_gd_4d(x, 4, 0.05)
+    mesh = dist.make_mesh()
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "z", None, None)))
+    try:
+        tjconfig.set_tv_impl("pallas", dual_dtype=jnp.float32)
+        with tjconfig.mesh_scope(mesh):
+            got_f, tvf2 = jax.jit(lambda v: tvmod.tv_fgp_4d(v, 4, 0.15))(xs)
+            got_g, tvg2 = jax.jit(lambda v: tvmod.tv_gd_4d(v, 4, 0.05))(xs)
+    finally:
+        tjconfig.set_tv_impl("auto", dual_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
+                               rtol=3e-6, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=3e-5, atol=3e-6)
+    assert np.isclose(float(tvf2), float(tvf), rtol=5e-6)
+    assert np.isclose(float(tvg2), float(tvg), rtol=5e-6)

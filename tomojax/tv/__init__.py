@@ -109,6 +109,18 @@ def tv_gd(x, ng: int, dpocs, axis_norm=None):
             from tomojax.tv.pallas_tvgd_sharded import tv_gd_sharded
 
             return tv_gd_sharded(x, ng, dpocs, mesh)
+    if x.ndim == 4 and axis_norm == (1, 2, 3):
+        mesh = tjconfig.sharded_pallas_tv_mesh(x.shape[1])
+        if mesh is not None:
+            # per-element 3D kernels, element axis mapped (the 4D TV-GD
+            # norm is per element — exactly what the per-element sharded
+            # kernel's global psum computes for each map slice)
+            from tomojax.tv.pallas_tvgd_sharded import tv_gd_sharded
+
+            x_new, tv0 = jax.lax.map(
+                lambda xe: tv_gd_sharded(xe, ng, dpocs, mesh), x
+            )
+            return x_new, jnp.sum(tv0)
     if x.ndim == 3 and axis_norm is None and tjconfig.use_pallas_tv():
         from tomojax.tv.pallas_tvgd import tv_gd_pallas
 
@@ -187,6 +199,20 @@ def tv_fgp(x, n_iter: int, lam):
         from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
 
         return tv_fgp_pallas_fused(x, n_iter, lam)
+    if x.ndim == 4:
+        mesh = tjconfig.sharded_pallas_tv_mesh(x.shape[1])
+        if mesh is not None:
+            # 4D chemistry stack sharded on the slice axis (axis 1): map
+            # the per-shard fused kernels over the element batch axis —
+            # the reference's 4D TV is per-element 3D TV (chemistry
+            # tv_fgp.cu:192-287), and its multi-GPU variant keeps the
+            # same per-element loop (multigpufusion.cpp).
+            from tomojax.tv.pallas_fgp_sharded import tv_fgp_sharded
+
+            d, tv0 = jax.lax.map(
+                lambda xe: tv_fgp_sharded(xe, n_iter, lam, mesh), x
+            )
+            return d, jnp.sum(tv0)
     if x.ndim == 4 and tjconfig.use_pallas_tv():
         # element axis is a pure batch axis for the stencil (reference 4D
         # TV runs the 3D kernels per element and sums the TV value,
