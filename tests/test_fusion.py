@@ -218,3 +218,33 @@ def test_data_fusion_sart_method(setup):
     xa, _, _ = fuse(x0, 0.05)
     xb, _, _ = fuse_sirt(x0, 0.05)
     assert not np.allclose(np.asarray(xa), np.asarray(xb))
+
+
+def test_data_fusion_run_matches_host_loop(setup):
+    """data_fusion_run (one scanned program incl. the adaptive
+    lambdaCHEM decay carried through the scan) == the host loop."""
+    from tomojax.fusion import data_fusion_run
+    from tomojax.fusion.multimodal import tv_fgp_4d
+
+    gt, fsys, b_chem, b_haadf = setup
+    x0 = jnp.ones((NEL, NS, N, N), jnp.float32) * 0.1
+    lam_h, lam_c0, it_s, it_tv, lam_tv = 0.2, 0.1, 2, 3, 1e-3
+
+    x = x0
+    lam_c = lam_c0
+    chs = []
+    for i in range(5):
+        x, ch, cc = data_fusion_step(x, b_haadf, b_chem, fsys, lam_h, lam_c, it_s)
+        x, tv0 = tv_fgp_4d(x, it_tv, lam_tv)
+        chs.append(float(ch))
+        if i > 0 and chs[-1] > chs[-2]:
+            lam_c *= 0.95
+
+    xr, metrics = jax.jit(
+        lambda x, bh, bc: data_fusion_run(
+            x, bh, bc, fsys, lam_h, lam_c0, 5, it_s, it_tv, lam_tv
+        )
+    )(x0, b_haadf, b_chem)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(metrics)[:, 0], chs, rtol=1e-4)

@@ -220,3 +220,34 @@ def test_band_windows_cover_support():
                 lo, hi = seg.min() - 1, seg.max() + 1
                 assert j0f[ab, r, t] <= max(np.floor(lo), 0)
                 assert j0f[ab, r, t] + jwf >= min(np.ceil(hi), geom.nray - 1)
+
+
+def test_fp_band_windows_row_grouped_cover():
+    """At n>512 the FP window table is row-grouped (SMEM budget); the
+    grouped windows must still cover every row's support."""
+    from tomojax.projector.pallas_joseph import (
+        _band_windows_fp, _fp_row_group, _BAND_CT, _round_up,
+    )
+
+    n, na, a_blk = 1024, 90, 16
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-76, 76, na)))
+    rg = _fp_row_group(n)
+    assert rg > 1
+    j0, jw, nct = _band_windows_fp(geom, a_blk, _round_up(na, a_blk), n)
+    j0 = np.asarray(j0)
+    assert j0.shape == (_round_up(na, a_blk) // a_blk, n // rg, nct)
+    off = (geom.nray - 1) / 2.0
+    cols = np.arange(n) - (n - 1) / 2.0
+    rng = np.random.default_rng(0)
+    for r in rng.integers(0, n, size=6):
+        yr = (n - 1) / 2.0 - r
+        for a in (0, na // 2, na - 1):
+            ab = a // a_blk
+            js = geom.cos[a] * cols + geom.sin[a] * yr + off
+            for t in range(nct):
+                seg = js[t * _BAND_CT:(t + 1) * _BAND_CT]
+                g = int(r) // rg
+                assert j0[ab, g, t] <= max(np.floor(seg.min() - 1), 0)
+                assert j0[ab, g, t] + jw >= min(
+                    np.ceil(seg.max() + 1), geom.nray - 1
+                )

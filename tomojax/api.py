@@ -617,9 +617,14 @@ class ChemicalTomo:
         show_convergence: bool = True,
         normalize_haadf: bool = False,
         method: str = "sirt",
+        fused: bool = False,
     ):
         """Fused reconstruction loop (reconstructor.py:182-225), including
         the adaptive lambdaCHEM *= 0.95 decay on HAADF-cost increase.
+
+        fused=True scans all Niter outer iterations (fusion step + 4D FGP
+        + the adaptive decay, carried through the scan) into ONE program
+        (fusion.data_fusion_run) — the pod-production shape.
 
         method: 'sirt' or 'sart' selects the inner HAADF solver
         (reference call_sirt_data_fusion / call_sart_data_fusion,
@@ -635,6 +640,23 @@ class ChemicalTomo:
                 lambdaCHEM=lambdaCHEM, show_convergence=show_convergence
             )
         self._rescale_data()
+
+        if fused:
+            from tomojax.fusion import data_fusion_run
+
+            run = jax.jit(
+                lambda x, bh, bc: data_fusion_run(
+                    x, bh, bc, self.fsys, lambdaHAADF, lambdaCHEM, Niter,
+                    iterSIRT, tvIter, lambdaTV,
+                    reduce_lambda=self.reduceLambda,
+                    normalize_haadf=normalize_haadf, method=method,
+                )
+            )
+            self.x, metrics = run(self.x, self.b_haadf, self.b_chem)
+            m = np.asarray(metrics)
+            self.costHAADF, self.costCHEM, self.costTV = m[:, 0], m[:, 1], m[:, 2]
+            self.reconTotal = None
+            return self
 
         from tomojax.fusion.multimodal import tv_fgp_4d
 

@@ -17,6 +17,7 @@ from tomojax.fusion.multimodal import (
     chemical_sirt_sweep,
     chemical_sart_sweep,
     data_fusion_step,
+    data_fusion_run,
     rescale_tomograms,
     rescale_projections,
     data_distance_chem,
@@ -37,6 +38,7 @@ __all__ = [
     "chemical_sirt_sweep",
     "chemical_sart_sweep",
     "data_fusion_step",
+    "data_fusion_run",
     "rescale_tomograms",
     "rescale_projections",
     "data_distance_chem",

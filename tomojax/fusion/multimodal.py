@@ -205,6 +205,41 @@ def data_fusion_step(
     return x, cost_haadf, cost_chem
 
 
+def data_fusion_run(
+    x, b_haadf, b_chem, fsys: FusionSystem, lam_haadf, lam_chem0,
+    n_iter: int, iter_sirt: int = 5, tv_iter: int = 5, lam_tv: float = 1e-4,
+    reduce_lambda: bool = True, normalize_haadf: bool = False,
+    method: str = "sirt", sart_weights=None,
+):
+    """`n_iter` fused data-fusion outer iterations (fused step + 4D FGP +
+    the adaptive lambdaCHEM *= 0.95 decay, chemistry reconstructor.py:
+    206-209) as ONE scanned program — the pod-production shape of the
+    fusion loop (the adaptive scalar is carried through the scan like
+    make_asd_pocs_run's dPOCS). Returns (x, metrics) with metrics a
+    (n_iter, 3) array of per-iteration (costHAADF, costCHEM, tv)."""
+    if method == "sart" and sart_weights is None:
+        sart_weights = make_sart_weights(fsys.haadf)
+
+    def body(carry, it):
+        x, lam_chem, prev_ch = carry
+        x, ch, cc = data_fusion_step(
+            x, b_haadf, b_chem, fsys, lam_haadf, lam_chem, iter_sirt,
+            normalize_haadf, method=method, sart_weights=sart_weights,
+        )
+        x, tv0 = tv_fgp_4d(x, tv_iter, lam_tv)
+        if reduce_lambda:
+            lam_chem = jnp.where(
+                (it > 0) & (ch > prev_ch), lam_chem * 0.95, lam_chem
+            )
+        return (x, lam_chem, ch), jnp.stack([ch, cc, tv0])
+
+    (x, _, _), metrics = jax.lax.scan(
+        body, (x, jnp.float32(lam_chem0), jnp.float32(0.0)),
+        jnp.arange(n_iter),
+    )
+    return x, metrics
+
+
 def rescale_tomograms(x, scale):
     """multimodal.cpp:307-309."""
     return x * scale

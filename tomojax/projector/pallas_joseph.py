@@ -140,7 +140,10 @@ def _compiler_params():
     try:
         return pltpu.CompilerParams(
             dimension_semantics=dims,
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # 96 MB of the v5e's 128: the 1024-class banded BP layout
+            # measured 65 MB of scoped stack (the old 64 MB cap missed
+            # by 1 MB); still leaves headroom for Mosaic's own buffers.
+            vmem_limit_bytes=96 * 1024 * 1024,
         )
     except TypeError:
         # Param-set drift: a JAX whose CompilerParams lacks
@@ -174,12 +177,22 @@ _BAND_CT = 128  # c-tile width (one MXU tile of the contraction dim)
 _BAND_UNROLL = False
 
 
+def _fp_row_group(n: int) -> int:
+    """Rows per FP window-table entry. Per-row tables are tightest, but
+    SMEM is 1 MB and the (1, n, nct) double-buffered block overflows it
+    at n=1024 (measured: exceeded by 1.1K with everything else resident);
+    grouping rows widens JW by at most rg*|sin| <= rg bins."""
+    return 1 if n <= 512 else 8
+
+
 def _band_windows_fp(geom: Geometry, a_blk: int, na_pad: int, n: int):
-    """j-window table for the FP kernel: j0[ab, r, t] (int32, multiples
-    of 8) and the static window width JW covering every (angle-in-block,
-    c-in-tile) pair with the +-1 hat support."""
+    """j-window table for the FP kernel: j0[ab, r // rg, t] (int32,
+    multiples of 8) and the static window width JW covering every
+    (angle-in-block, row-in-group, c-in-tile) triple with the +-1 hat
+    support."""
     ct = _BAND_CT
     nct = n // ct
+    rg = _fp_row_group(n)
     nab = na_pad // a_blk
     off = (geom.nray - 1) / 2.0
     cos = np.zeros(na_pad)
@@ -191,7 +204,7 @@ def _band_windows_fp(geom: Geometry, a_blk: int, na_pad: int, n: int):
     xe = np.stack(
         [np.arange(nct) * ct, np.arange(nct) * ct + ct - 1]
     ) - (n - 1) / 2.0  # (2, nct) tile corner columns
-    j0 = np.zeros((nab, n, nct), np.int32)
+    j0 = np.zeros((nab, n // rg, nct), np.int32)
     need = 0
     for ab in range(nab):
         lo_a = ab * a_blk
@@ -204,8 +217,10 @@ def _band_windows_fp(geom: Geometry, a_blk: int, na_pad: int, n: int):
         rowterm = s[:, None] * yr[None, :]  # (A, n)
         # jstar corners over (angle, tile-edge, row, tile): (A, 2, n, nct)
         js = base[:, :, None, :] + rowterm[:, None, :, None]
-        lo = js.min(axis=(0, 1)) - 1.0  # (n, nct)
-        hi = js.max(axis=(0, 1)) + 1.0
+        # reduce rows into groups of rg (SMEM budget; see _fp_row_group)
+        js = js.reshape(js.shape[0], 2, n // rg, rg, nct)
+        lo = js.min(axis=(0, 1, 3)) - 1.0  # (n//rg, nct)
+        hi = js.max(axis=(0, 1, 3)) + 1.0
         j0_raw = (np.floor(lo).astype(np.int64) // 8) * 8
         need = max(need, int((np.ceil(hi) - j0_raw + 1).max()))
         j0[ab] = j0_raw
@@ -266,7 +281,7 @@ def _band_enabled(jw: int, nct: int, nray: int, kind: str) -> bool:
     return jw * 2 <= nray
 
 
-def _fp_banded_kernel(n, nray, jw, nct, unroll, prec, j0_ref, cos_ref,
+def _fp_banded_kernel(n, nray, jw, nct, rg, unroll, prec, j0_ref, cos_ref,
                       sin_ref, invd_ref, img_ref, out_ref):
     k = pl.program_id(2)
 
@@ -284,7 +299,7 @@ def _fp_banded_kernel(n, nray, jw, nct, unroll, prec, j0_ref, cos_ref,
     iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, jw, 1), 1).astype(jnp.float32)
 
     def tile(t, _):
-        j0 = pl.multiple_of(j0_ref[0, k, t], 8)
+        j0 = pl.multiple_of(j0_ref[0, k // rg, t], 8)
         tc = float(t * ct) if isinstance(t, int) else (t * ct).astype(jnp.float32)
         xc = iota_c + tc - (n - 1) / 2.0
         jstar = cos_ref[:] * xc + base  # (A_BLK, CT)
@@ -414,12 +429,12 @@ def fp_pallas_sl(img, geom: Geometry, precision=None, a_blk: int = 16,
             # whole (rows x tiles) table for the angle block (n*nct i32,
             # ~2 KB) and index by the row program id in-kernel.
             j0_spec = pl.BlockSpec(
-                (1, n, nct), lambda a, s, k: (a, 0, 0),
+                (1, n // _fp_row_group(n), nct), lambda a, s, k: (a, 0, 0),
                 memory_space=pltpu.SMEM,
             )
             out = pl.pallas_call(
-                partial(_fp_banded_kernel, n, nray, jw, nct, _BAND_UNROLL,
-                        prec),
+                partial(_fp_banded_kernel, n, nray, jw, nct,
+                        _fp_row_group(n), _BAND_UNROLL, prec),
                 grid=grid,
                 in_specs=[j0_spec, ang_spec, ang_spec, ang_spec, img_spec],
                 out_specs=out_spec,
@@ -470,11 +485,11 @@ def _fp_resid_kernel(n, nray, prec, cos_ref, sin_ref, invd_ref, img_ref,
                            ax_ref, resid_ref)
 
 
-def _fp_resid_banded_kernel(n, nray, jw, nct, unroll, prec, j0_ref,
+def _fp_resid_banded_kernel(n, nray, jw, nct, rg, unroll, prec, j0_ref,
                             cos_ref, sin_ref, invd_ref, img_ref,
                             b_ref, axold_ref, invrow_ref, beta_ref,
                             ax_ref, resid_ref):
-    _fp_banded_kernel(n, nray, jw, nct, unroll, prec, j0_ref, cos_ref,
+    _fp_banded_kernel(n, nray, jw, nct, rg, unroll, prec, j0_ref, cos_ref,
                       sin_ref, invd_ref, img_ref, ax_ref)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -527,12 +542,12 @@ def fp_resid_pallas_sl(x, geom: Geometry, b_pad, ax_old_pad, inv_row_pad,
         j0, jw, nct = _band_windows_fp(geom, a_blk, na_pad, n)
         if _band_enabled(jw, nct, nray, "fp"):
             j0_spec = pl.BlockSpec(
-                (1, n, nct), lambda a, s, k: (a, 0, 0),
+                (1, n // _fp_row_group(n), nct), lambda a, s, k: (a, 0, 0),
                 memory_space=pltpu.SMEM,
             )
             return pl.pallas_call(
                 partial(_fp_resid_banded_kernel, n, nray, jw, nct,
-                        _BAND_UNROLL, prec),
+                        _fp_row_group(n), _BAND_UNROLL, prec),
                 grid=grid,
                 in_specs=[j0_spec, ang_spec, ang_spec, ang_spec, img_spec,
                           sino_spec, sino_spec, ir_spec, beta_spec],

@@ -29,6 +29,26 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+
+
+def _tv_compiler_params(nx: int = 128):
+    """Scoped-VMEM cap for the TV kernels, keyed on the LANE dimension:
+    planes whose trailing dim is below the 128-lane tile get padded to
+    128 in VMEM, which pushed the fused FGP kernel to 19 MB of scoped
+    stack at 1024-class slice-last layouts (nx = Ns = 64) — over
+    Mosaic's 16 MB default. Only those layouts get the raised cap: a
+    blanket raise measured a 13% HEADLINE REGRESSION at 256^3 (1018M vs
+    1176M voxel-iters/s — the larger budget changes Mosaic's buffering
+    choices for kernels that fit fine under the default)."""
+    if nx >= 128:
+        return None  # default cap; measured-best for unpadded lanes
+    try:
+        return pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+    except TypeError:  # older param sets
+        return None
 
 
 def _obj_kernel(lam, x_ref, p1_ref, p1m_ref, p2_ref, p3_ref, d_ref):
@@ -315,6 +335,7 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
                   plane_next, blk, plane_next],
         out_specs=(blk, blk, blk),
         out_shape=(dshape, dshape, dshape),
+        compiler_params=_tv_compiler_params(nx),
         interpret=interpret,
     )
 
@@ -328,6 +349,7 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
         in_specs=[spec, spec, spec_prev, spec, spec],
         out_specs=spec,
         out_shape=shape,
+        compiler_params=_tv_compiler_params(nx),
         interpret=interpret,
     )
 
@@ -370,6 +392,7 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
             ],
             out_specs=(blk, blk, blk),
             out_shape=(dshape, dshape, dshape),
+            compiler_params=_tv_compiler_params(nx),
             interpret=interpret,
         )
 
@@ -422,6 +445,7 @@ def tv_fgp_pallas(x, n_iter: int, lam, interpret: bool | None = None):
         in_specs=[spec, spec, spec_prev, spec, spec],
         out_specs=spec,
         out_shape=shape,
+        compiler_params=_tv_compiler_params(nx),
         interpret=interpret,
     )
     grad = pl.pallas_call(
@@ -430,6 +454,7 @@ def tv_fgp_pallas(x, n_iter: int, lam, interpret: bool | None = None):
         in_specs=[spec, spec_next, spec, spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=(shape, shape, shape),
+        compiler_params=_tv_compiler_params(nx),
         interpret=interpret,
     )
 

@@ -31,10 +31,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 from tomojax.dist import SLAB_AXIS
-from tomojax.tv.pallas_fgp import _fused_plane_block
+from tomojax.tv.pallas_fgp import _fused_plane_block, _tv_compiler_params
 
 
 def _fused_kernel_halo(lam, multip, pb, nz, mask_top,
@@ -177,6 +178,7 @@ def tv_fgp_sharded(x, n_iter: int, lam, mesh, dual_dtype=None,
                       blk, plane_next, halo],
             out_specs=(blk, blk, blk),
             out_shape=(dshape4, dshape4, dshape4),
+            compiler_params=_tv_compiler_params(nx),
             interpret=interpret,
         )
 
@@ -193,6 +195,7 @@ def tv_fgp_sharded(x, n_iter: int, lam, mesh, dual_dtype=None,
         in_specs=[spec1, spec1, spec1_prev, halo, spec1, spec1],
         out_specs=spec1,
         out_shape=shape4,
+        compiler_params=_tv_compiler_params(nx),
         interpret=interpret,
     )
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tomojax.tv.pallas_fgp import _fused_plane_block
+from tomojax.tv.pallas_fgp import _fused_plane_block, _tv_compiler_params
 
 EPS_TV = 1e-6
 
@@ -71,6 +71,7 @@ def tv_value_pallas(x, interpret: bool | None = None):
             (1, 1), lambda e, i: (0, 0), memory_space=pltpu.SMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        compiler_params=_tv_compiler_params(nx),
         interpret=interpret,
     )(x4, x4)
     return out[0, 0]

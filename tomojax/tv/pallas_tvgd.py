@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from tomojax.tv.pallas_fgp import _tv_compiler_params
+
 EPS_TV = 1e-6
 
 
@@ -75,6 +77,7 @@ def tv_grad_pallas(x, interpret: bool | None = None):
         in_specs=[spec_prev, spec, spec_next],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=_tv_compiler_params(nx),
         interpret=interpret,
     )(x, x, x)
 

@@ -31,10 +31,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 from tomojax.dist import SLAB_AXIS
-from tomojax.tv.pallas_fgp import _fused_plane_block
+from tomojax.tv.pallas_fgp import _fused_plane_block, _tv_compiler_params
 
 EPS_TV = 1e-6
 
@@ -110,6 +111,7 @@ def tv_gd_sharded(x, ng: int, dpocs, mesh, interpret: bool | None = None):
         in_specs=[blk, plane_prev, plane_next, halo, halo],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((nz_loc, ny, nx), jnp.float32),
+        compiler_params=_tv_compiler_params(nx),
         interpret=interpret,
     )
 
