@@ -304,11 +304,14 @@ class TomoTPU:
         st = fista_init(self.x, self.sys)
         self.cost = np.zeros(Niter, np.float32)
         if fused:
-            if self.mesh is None and momentum:
+            if (self.mesh is None and momentum
+                    and jax.default_backend() != "cpu"):
                 # single-device fast path: slice-last layout, fused BP
                 # epilogue (solvers/fista.py fista_run_sl). momentum=False
                 # is excluded — its scan compiles pathologically on v5e
-                # (185 ms/iter measured vs 15 with momentum).
+                # (185 ms/iter measured vs 15 with momentum) — and CPU
+                # backends keep the XLA driver (interpret-mode pallas is
+                # a correctness tool, not a fast path).
                 from tomojax.solvers import (
                     fista_init_sl, fista_run_sl, from_sl, to_sl,
                 )
