@@ -265,3 +265,30 @@ def test_asd_pocs_fused_matches_host_loop():
     b.asd_pocs(Niter=4, nTViter=3, fused=True)
     np.testing.assert_allclose(b.get_recon(), a.get_recon(), atol=2e-3)
     np.testing.assert_allclose(b.dd_vec, a.dd_vec, rtol=1e-3)
+
+
+def test_fista_fused_respects_strict_config(monkeypatch):
+    """fista(fused=True) must NOT take the Pallas slice-last fast path
+    when the user forced strict verification modes (projector 'gather' /
+    tv 'xla') — review finding: the SL driver hard-codes Pallas kernels."""
+    from tomojax import config as tjconfig
+    import tomojax.solvers as solvers_mod
+
+    ts, _ = _series()
+    called = {"sl": False}
+    real = solvers_mod.fista_run_sl
+
+    def spy(*a, **k):
+        called["sl"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(solvers_mod, "fista_run_sl", spy)
+    try:
+        tjconfig.set_projector_mode("gather")
+        t = TomoTPU(ANGLES, ts, mesh=None)
+        t.mesh = None  # force the meshless branch even on the 8-dev env
+        t.fista(Niter=2, lambda_param=0.01, fused=True)
+    finally:
+        tjconfig.set_projector_mode("auto")
+    assert not called["sl"]
+    assert np.isfinite(t.cost).all()

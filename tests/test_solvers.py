@@ -329,3 +329,33 @@ def test_bp_sirt_epilogue_matches_composition():
     np.testing.assert_allclose(
         np.asarray(from_sl(got)), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_fista_sl_non_multiple_of_rb():
+    """The fused BP-SIRT epilogue must handle N not divisible by rb=32
+    (row-padded epilogue operands; regression for a trace-time assert)."""
+    from tomojax.solvers import (
+        fista_init, fista_step, fista_init_sl, fista_run_sl, from_sl, to_sl,
+    )
+    from tomojax import config as tjconfig
+
+    ns, n, na = 6, 40, 13  # 40 % 32 != 0
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-65, 65, na)))
+    sysd = make_system(geom)
+    gt = jnp.asarray(np.stack([shepp_logan(n)] * ns), jnp.float32)
+    b = fp(gt, geom)
+    st = fista_init(jnp.zeros((ns, n, n), jnp.float32), sysd)
+    step = jax.jit(lambda s, bb: fista_step(s, bb, sysd, 0.05, 3, True))
+    for _ in range(3):
+        st, m = step(st, b)
+    stl = fista_init_sl(jnp.zeros((ns, n, n), jnp.float32), sysd, to_sl(b))
+    try:
+        tjconfig.set_tv_impl("auto", dual_dtype=jnp.float32)
+        stl, msl = jax.jit(
+            lambda s, bb: fista_run_sl(s, bb, sysd, 0.05, 3, 3, True)
+        )(stl, to_sl(b))
+    finally:
+        tjconfig.set_tv_impl("auto", dual_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(from_sl(stl.x)), np.asarray(st.x), rtol=2e-4, atol=2e-5
+    )

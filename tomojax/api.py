@@ -301,11 +301,17 @@ class TomoTPU:
         persistent cache absorbs). The host loop stays the default for
         interactive use."""
         self.restart_recon()
-        st = fista_init(self.x, self.sys)
         self.cost = np.zeros(Niter, np.float32)
         if fused:
             if (self.mesh is None and momentum
-                    and jax.default_backend() != "cpu"):
+                    and jax.default_backend() != "cpu"
+                    and _tjconfig.resolve_projector_mode() == "pallas"
+                    and _tjconfig.use_pallas_tv()
+                    and self.Nray % 128 == 0):
+                # Nray % 128: the slice-last scan compiles pathologically
+                # on the remote compile service for lane-odd shapes
+                # (measured >12 min at N=100 vs ~4 min at 256^3); the
+                # slice-first scanned driver below handles any shape.
                 # single-device fast path: slice-last layout, fused BP
                 # epilogue (solvers/fista.py fista_run_sl). momentum=False
                 # is excluded — its scan compiles pathologically on v5e
@@ -332,6 +338,7 @@ class TomoTPU:
                 return self
             from tomojax.solvers import fista_run
 
+            st = fista_init(self.x, self.sys)
             run = jax.jit(
                 lambda st, b: fista_run(
                     st, b, self.sys, lambda_param, Niter, nTViter,
@@ -342,6 +349,7 @@ class TomoTPU:
             if show_convergence:
                 self.cost[:] = np.asarray(metrics)[:, 0]
         else:
+            st = fista_init(self.x, self.sys)
             step = jax.jit(
                 lambda st, b: fista_step(
                     st, b, self.sys, lambda_param, nTViter, momentum, compat,

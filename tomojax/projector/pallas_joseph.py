@@ -727,7 +727,12 @@ def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
         sino_ab_spec = pl.BlockSpec(
             (ab, nray, s_blk), lambda r, s, k: (k, 0, s)
         )
-        yv = _pad_axis(y_vol, 2, ns_pad) if fused else None
+        yv = None
+        if fused:
+            # pad the epilogue operands' ROW axis too: padded rows
+            # compute garbage that the [:n] output slice discards
+            yv = _pad_axis(_pad_axis(y_vol, 2, ns_pad), 0, n_pad)
+            inv_col2d = _pad_axis(inv_col2d, 0, n_pad)
         out_shape = jax.ShapeDtypeStruct((n_pad, n, ns_pad), yt.dtype)
         out_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
         vol_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
@@ -749,8 +754,10 @@ def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
     vol_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
     ic_spec = pl.BlockSpec((rb, n), lambda r, s, k: (r, 0))
     if fused:
-        assert n_pad == n, "fused SIRT epilogue requires rb | N"
-        yv = _pad_axis(y_vol, 2, ns_pad)
+        # pad the epilogue operands' row axis along with the output grid:
+        # padded rows produce values the [:n] output slice discards
+        yv = _pad_axis(_pad_axis(y_vol, 2, ns_pad), 0, n_pad)
+        inv_col2d = _pad_axis(inv_col2d, 0, n_pad)
     if _use_banded(n, nray):
         j0, jw, nct = _band_windows_bp(geom, rb, n_pad, n)
         if _band_enabled(jw, nct, nray, "bp"):

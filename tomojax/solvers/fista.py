@@ -238,7 +238,11 @@ def fista_step_sl(
     ns = state.x.shape[-1]
     y = state.yk if momentum else state.x
     # SIRT update fused into the BP epilogue: z = max(y + C A^T r, 0);
-    # the carried resid is already (b - A y) * inv_row (FP epilogue)
+    # the carried resid is already (b - A y) * inv_row (FP epilogue).
+    # The [:na] row slice is one contiguous sinogram copy per iteration
+    # (~23 MB at 256-class); the alternative — teaching BP to consume the
+    # padded rows directly — costs na_pad-na extra zero-weight BP grid
+    # programs (~0.28 ms at 90->96 angles), more than the copy.
     z = bp_pallas_sl(state.resid[:na, :, :ns], geom, interpret=interp,
                      y_vol=y, inv_col2d=ic2d)
     if compat == "reference" and momentum:

@@ -50,7 +50,14 @@ def tv(x):
     """
     from tomojax import config as tjconfig
 
-    if x.ndim in (3, 4) and tjconfig.use_pallas_tv():
+    if (
+        x.ndim in (3, 4)
+        and tjconfig.use_pallas_tv()
+        and (tjconfig.active_mesh is None or tjconfig.active_mesh.size <= 1)
+    ):
+        # single-device only: under a multi-device mesh the XLA stencil
+        # (whose rolls lower to halo collectives) is the sharded path —
+        # a plain pallas_call has no partitioning rule
         from tomojax.tv.pallas_tv_value import tv_value_pallas
 
         return tv_value_pallas(x)
