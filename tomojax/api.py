@@ -306,12 +306,10 @@ class TomoTPU:
             if (self.mesh is None and momentum
                     and jax.default_backend() != "cpu"
                     and _tjconfig.resolve_projector_mode() == "pallas"
-                    and _tjconfig.use_pallas_tv()
-                    and self.Nray % 128 == 0):
-                # Nray % 128: the slice-last scan compiles pathologically
-                # on the remote compile service for lane-odd shapes
-                # (measured >12 min at N=100 vs ~4 min at 256^3); the
-                # slice-first scanned driver below handles any shape.
+                    and _tjconfig.use_pallas_tv()):
+                # (Odd lane shapes compile fine: a cold N=104 scan
+                # measured 262 s — the same one-time scan pathology as
+                # any size, absorbed by the persistent cache.)
                 # single-device fast path: slice-last layout, fused BP
                 # epilogue (solvers/fista.py fista_run_sl). momentum=False
                 # is excluded — its scan compiles pathologically on v5e
