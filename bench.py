@@ -75,10 +75,10 @@ def main(markdown: bool = False):
     state, m = run(state, b)
     jax.block_until_ready(state.x)
 
-    # time 3 chained program calls (3*iters iterations) for a stable
-    # window (~0.5 s); state feeds forward so no two calls are identical
+    # time 4 chained program calls (4*iters iterations) for a stable
+    # window (~0.6 s); state feeds forward so no two calls are identical
     # (the remote backend caches identical (executable, inputs) pairs).
-    reps = 3
+    reps = 4
     t0 = time.perf_counter()
     for _ in range(reps):
         state, m = run(state, b)
