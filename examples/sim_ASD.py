@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--niter", type=int, default=100)
     ap.add_argument("--snr", type=int, default=200)
     ap.add_argument("--save", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="scan the whole adaptive loop into ONE program "
+                         "(solvers.make_asd_pocs_run; pod-production "
+                         "shape — one large compile, then fastest)")
     args = ap.parse_args()
 
     # reference defaults (examples/sim_ASD.py:19-31)
@@ -32,7 +36,7 @@ def main():
     angles = np.linspace(-76, 76, args.nproj)
     vol = nanocube_phantom(args.nslice, args.n)
     sim = Simulator(vol, angles, snr=args.snr)
-    sim.asd_pocs(Niter=args.niter, **params)
+    sim.asd_pocs(Niter=args.niter, fused=args.fused, **params)
     print(f"ASD-POCS: dd {sim.dd_vec[0]:.3f} -> {sim.dd_vec[-1]:.3f}, "
           f"tv {sim.tv_vec[0]:.1f} -> {sim.tv_vec[-1]:.1f}, "
           f"RMSE {sim.rmse():.4f}")
