@@ -359,3 +359,21 @@ def test_fista_sl_non_multiple_of_rb():
     np.testing.assert_allclose(
         np.asarray(from_sl(stl.x)), np.asarray(st.x), rtol=2e-4, atol=2e-5
     )
+
+
+def test_fista_momentum_toggle_keeps_invariants(tilt_problem):
+    """Toggling momentum across calls on the same state must keep the
+    carried projections valid: ay == A yk and ax == A x_old at every
+    point (review finding: the old non-momentum branch stored a stale
+    x_old, corrupting the next momentum extrapolation by ~0.1)."""
+    from tomojax.solvers import fista_init, fista_step
+
+    geom, sysd, ph, b = tilt_problem
+    st = fista_init(jnp.zeros_like(ph), sysd)
+    for mom in (True, True, False, True, False, False, True):
+        st, m = fista_step(st, b, sysd, 0.01, 3, mom)
+        ay_true = fp(st.yk, geom)
+        ax_true = fp(st.x_old, geom)
+        assert float(jnp.max(jnp.abs(st.ay - ay_true))) < 1e-4, mom
+        assert float(jnp.max(jnp.abs(st.ax - ax_true))) < 1e-4, mom
+        assert np.isfinite(float(m[0]))

@@ -623,7 +623,18 @@ def _bp_kernel_ab(n, nray, rb, ab, fused, prec, cos_ref, sin_ref, invd_ref,
             )
 
 
-def _bp_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref, out_ref):
+def _bp_kernel(n, nray, rb, fused, prec, cos_ref, sin_ref, invd_ref,
+               y_ref, *rest):
+    """Dense BP; with `fused`, the ASTRA-SIRT update
+    max(y_vol + inv_col * A^T y, 0) runs as an epilogue on the VMEM
+    accumulator tile — the separate XLA elementwise pass costs ~1.5 ms
+    of HBM round-trips at 256^3 on v5e (the BP output volume is written,
+    re-read, combined, re-written). Same fused/rest-args pattern as
+    _bp_banded_kernel / _bp_kernel_ab so the W-build body exists once."""
+    if fused:
+        yv_ref, ic_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     r = pl.program_id(0)
     k = pl.program_id(2)
 
@@ -650,45 +661,12 @@ def _bp_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref, out_ref):
     contrib = _dot(w.reshape(rb * n, nray), y_ref[0], prec)
     out_ref[:] += contrib.reshape(rb, n, s_blk)
 
-
-def _bp_sirt_kernel(n, nray, rb, prec, cos_ref, sin_ref, invd_ref, y_ref,
-                    yv_ref, ic_ref, out_ref):
-    """BP with the ASTRA-SIRT update fused as an epilogue:
-    out = max(y_vol + inv_col * A^T y, 0) — the separate XLA elementwise
-    pass costs ~1.5 ms of HBM round-trips at 256^3 on v5e (the BP output
-    volume is written, re-read, combined, re-written); here the combine
-    happens on the accumulator tile while it is still in VMEM."""
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    _, _, s_blk = out_ref.shape
-    ck = cos_ref[0, k]
-    sk = sin_ref[0, k]
-    invd = invd_ref[0, k]
-    r = pl.program_id(0)
-    rows = (r * rb + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)).astype(jnp.float32)
-    yr = (n - 1) / 2.0 - rows
-    xc = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32) - (n - 1) / 2.0
-    off = (nray - 1) / 2.0
-    jstar = ck * xc + (sk * yr + off)
-    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nray), 2).astype(jnp.float32)
-    w = (
-        jnp.maximum(
-            0.0, 1.0 - jnp.abs(iota_j - jstar[:, :, None]) * invd
-        )
-        * invd
-    )
-    contrib = _dot(w.reshape(rb * n, nray), y_ref[0], prec)
-    out_ref[:] += contrib.reshape(rb, n, s_blk)
-
-    @pl.when(k == pl.num_programs(2) - 1)
-    def _():
-        out_ref[:] = jnp.maximum(
-            yv_ref[:] + ic_ref[:][:, :, None] * out_ref[:], 0.0
-        )
+    if fused:
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            out_ref[:] = jnp.maximum(
+                yv_ref[:] + ic_ref[:][:, :, None] * out_ref[:], 0.0
+            )
 
 
 def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
@@ -699,7 +677,7 @@ def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
     With `y_vol` ((N, N, Ns)) and `inv_col2d` ((N, N), the SIRT column
     weights shared across slices — System.inv_col[0]) the ASTRA-SIRT
     update `max(y_vol + inv_col * A^T y, 0)` is fused into the kernel
-    epilogue on the VMEM accumulator tile (see _bp_sirt_kernel).
+    epilogue on the VMEM accumulator tile (_bp_kernel fused=True).
 
     ab > 1 accumulates `ab` angles per grid step (dense kernel only)."""
     na, nray, ns = yt.shape
@@ -790,10 +768,10 @@ def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
                     interpret=interpret,
                 )(j0, cos, sin, invd, yt)
             return out[:n, :, :ns]
+    kern = partial(_bp_kernel, n, nray, rb, fused, prec)
     if fused:
         out = pl.pallas_call(
-            partial(_bp_sirt_kernel, n, nray, rb, prec),
-            grid=grid,
+            kern, grid=grid,
             in_specs=[ang_spec, ang_spec, ang_spec, sino_spec,
                       vol_spec, ic_spec],
             out_specs=out_spec,
@@ -803,8 +781,7 @@ def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
         )(cos, sin, invd, yt, yv, inv_col2d)
     else:
         out = pl.pallas_call(
-            partial(_bp_kernel, n, nray, rb, prec),
-            grid=grid,
+            kern, grid=grid,
             in_specs=[ang_spec, ang_spec, ang_spec, sino_spec],
             out_specs=out_spec,
             out_shape=out_shape,

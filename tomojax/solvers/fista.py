@@ -47,12 +47,33 @@ class FistaState(NamedTuple):
     ay: jnp.ndarray  # A yk
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _seed_fp(geom, mode, mesh):
+    """Jitted seeding FP, cached per (geometry, resolved dispatch mode,
+    mesh-in-scope) so repeated reconstructions don't re-trace/re-compile
+    it (a fresh lambda per call guaranteed a jit cache miss). mode/mesh
+    are cache keys only — fp reads the config at trace time."""
+    del mesh
+    return jax.jit(lambda v: fp(v, geom, mode))
+
+
+def _seed_projection(x0, sys: System):
+    from tomojax import config as tjconfig
+
+    return _seed_fp(
+        sys.geom, tjconfig.resolve_projector_mode(), tjconfig.active_mesh
+    )(x0)
+
+
 def fista_init(x0, sys: System) -> FistaState:
     """Mirror of initialize_fista (tomoengine.cpp:350-372): yk = x_old = x.
 
     Also projects x0 once to seed the carried A-images (see module
     docstring "Projection reuse")."""
-    ax = jax.jit(lambda v: fp(v, sys.geom))(x0)
+    ax = _seed_projection(x0, sys)
     return FistaState(x=x0, x_old=x0, yk=x0, t=jnp.float32(1.0),
                       ax=ax, ay=ax)
 
@@ -74,8 +95,11 @@ def fista_step(
     TV evaluation and scalar reductions."""
     geom = sys.geom
     # gradient step = 1 ASTRA-semantics SIRT iteration on yk, with the
-    # carried A yk instead of a fresh forward projection
-    y = state.yk if momentum else state.x
+    # carried A yk instead of a fresh forward projection. yk is ALWAYS
+    # the stepped iterate (momentum=False keeps yk == x below), so the
+    # carried state.ay == A yk stays valid even if `momentum` is toggled
+    # between calls on the same state.
+    y = state.yk
     resid = (b - state.ay) * sys.inv_row
     z = jnp.maximum(y + sys.inv_col * bp(resid, geom), 0.0)
 
@@ -94,7 +118,11 @@ def fista_step(
         state = FistaState(x=x_new, x_old=x_new, yk=y_new, t=t_new,
                            ax=ax_new, ay=ay_new)
     else:
-        state = FistaState(x=x_new, x_old=state.x, yk=x_new, t=state.t,
+        # x_old = x_new keeps the invariant ax == A x_old, so a later
+        # momentum=True call restarts momentum cleanly (beta term = 0
+        # on its first step) instead of extrapolating against a stale
+        # iterate whose projections were never carried.
+        state = FistaState(x=x_new, x_old=x_new, yk=x_new, t=state.t,
                            ax=ax_new, ay=ax_new)
 
     if not compute_metrics:
@@ -198,7 +226,7 @@ def fista_init_sl(x0, sys: System, b_sl) -> FistaStateSL:
     fields (the scan then carries no per-iteration pad/slice copies)."""
     from tomojax.projector.pallas_joseph import fp_resid_pallas_sl
 
-    xsl = jnp.transpose(jnp.asarray(x0, jnp.float32), (1, 2, 0))
+    xsl = to_sl(jnp.asarray(x0, jnp.float32))
 
     @jax.jit
     def init(xsl, b_sl):
@@ -236,7 +264,9 @@ def fista_step_sl(
     ic2d = sys.inv_col[0]  # (N, N), shared across slices
     na = geom.nproj
     ns = state.x.shape[-1]
-    y = state.yk if momentum else state.x
+    # yk is always the stepped iterate (see fista_step): the carried
+    # resid encodes (b - A yk) R and stays valid under momentum toggling
+    y = state.yk
     # SIRT update fused into the BP epilogue: z = max(y + C A^T r, 0);
     # the carried resid is already (b - A y) * inv_row (FP epilogue).
     # The [:na] row slice is one contiguous sinogram copy per iteration
@@ -266,7 +296,8 @@ def fista_step_sl(
         state = FistaStateSL(x=x_new, x_old=x_new, yk=y_new, t=t_new,
                              ax=ax_new, resid=resid_new)
     else:
-        state = FistaStateSL(x=x_new, x_old=state.x, yk=x_new, t=t_new,
+        # x_old = x_new: keeps ax == A x_old (see fista_step)
+        state = FistaStateSL(x=x_new, x_old=x_new, yk=x_new, t=t_new,
                              ax=ax_new, resid=resid_new)
     if not compute_metrics:
         z0 = jnp.float32(0.0)
