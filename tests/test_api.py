@@ -292,3 +292,40 @@ def test_fista_fused_respects_strict_config(monkeypatch):
         tjconfig.set_projector_mode("auto")
     assert not called["sl"]
     assert np.isfinite(t.cost).all()
+
+
+def test_chemical_tomo_data_fusion_fused():
+    """ChemicalTomo.data_fusion(fused=True) (the scanned outer loop incl.
+    the adaptive lambda decay) matches the host-loop driver."""
+    yy, xx = np.mgrid[0:N, 0:N]
+    e1 = ((xx - 10) ** 2 + (yy - 16) ** 2 < 36).astype(np.float32)
+    e2 = ((xx - 22) ** 2 + (yy - 16) ** 2 < 25).astype(np.float32)
+    gt = np.stack([np.stack([e1] * 2), np.stack([e2] * 2)])
+    chem_ang = np.linspace(-60, 60, 9)
+    haadf_ang = np.linspace(-70, 70, 30)
+    from tomojax.fusion import make_fusion_system, weights_for_elements, fp4d, model_haadf
+
+    w = weights_for_elements(["c", "au"], 1.6, 3)
+    fsys = make_fusion_system(
+        N, np.deg2rad(haadf_ang), np.deg2rad(chem_ang), w, 1.6
+    )
+    b_chem = np.asarray(fp4d(jnp.asarray(gt), fsys.chem))
+    b_haadf = np.asarray(fp(model_haadf(jnp.asarray(gt), fsys), fsys.haadf.geom))
+    kwargs = dict(
+        haadf=np.transpose(b_haadf, (0, 2, 1)),
+        haadfTiltAngles=haadf_ang,
+        chem={"C": np.transpose(b_chem[0], (0, 2, 1)),
+              "Au": np.transpose(b_chem[1], (0, 2, 1))},
+        chemTiltAngles=chem_ang,
+    )
+    a = ChemicalTomo(**kwargs)
+    a.chemical_tomography(Niter=8, lambdaCHEM=0.2, show_convergence=False)
+    a.data_fusion(Niter=4, lambdaCHEM=0.05, lambdaHAADF=0.02,
+                  iterSIRT=2, tvIter=3, show_convergence=False)
+    b = ChemicalTomo(**kwargs)
+    b.chemical_tomography(Niter=8, lambdaCHEM=0.2, show_convergence=False)
+    b.data_fusion(Niter=4, lambdaCHEM=0.05, lambdaHAADF=0.02,
+                  iterSIRT=2, tvIter=3, show_convergence=False, fused=True)
+    np.testing.assert_allclose(b.get_recon(), a.get_recon(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(b.costHAADF, a.costHAADF, rtol=1e-4)
