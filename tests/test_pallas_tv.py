@@ -314,3 +314,35 @@ def test_sharded_4d_tv_fast_paths():
                                rtol=3e-5, atol=3e-6)
     assert np.isclose(float(tvf2), float(tvf), rtol=5e-6)
     assert np.isclose(float(tvg2), float(tvg), rtol=5e-6)
+
+
+def test_fgp_momentum_epilogue_matches_composition():
+    """tv_fgp_pallas_fused(mom=(x_old, beta)) == (d, d + beta (d - x_old)):
+    the fused Nesterov extrapolation must be exactly the separate
+    elementwise pass it replaces (solvers/fista.py fista_step_sl)."""
+    from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(8, 16, 16)).astype(np.float32)) + 0.4
+    x_old = jnp.asarray(rng.normal(size=(8, 16, 16)).astype(np.float32))
+    beta = jnp.float32(0.37)
+    d_ref, tv_ref = tv_fgp_pallas_fused(
+        x, 4, 0.1, interpret=True, dual_dtype=jnp.float32
+    )
+    d, y, tv0 = tv_fgp_pallas_fused(
+        x, 4, 0.1, interpret=True, dual_dtype=jnp.float32,
+        mom=(x_old, beta),
+    )
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(d_ref + beta * (d_ref - x_old)),
+        rtol=1e-6, atol=1e-6,
+    )
+    assert np.isclose(float(tv0), float(tv_ref))
+    # beta is traced (the FISTA momentum scalar): must work under jit
+    d2, y2, _ = jax.jit(
+        lambda b: tv_fgp_pallas_fused(
+            x, 4, 0.1, interpret=True, dual_dtype=jnp.float32, mom=(x_old, b)
+        )
+    )(beta)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), rtol=1e-6)

@@ -464,38 +464,58 @@ def fp_pallas(x, geom: Geometry, precision=None, a_blk: int = 16,
 
 
 def _fp_resid_epilogue(b_ref, axold_ref, invrow_ref, beta_ref,
-                       ax_ref, resid_ref):
+                       ax_ref, resid_ref, ddsq_ref):
     """ax accumulated; emit resid = (b - (ax + beta (ax - ax_old))) R —
     the NEXT iteration's weighted residual of the momentum variable
-    (FISTA projection-reuse identity: A y = A x + beta (A x - A x_old))."""
+    (FISTA projection-reuse identity: A y = A x + beta (A x - A x_old)) —
+    and this block's partial sum of (ax - b)^2 (the data-distance metric
+    ||A x - b||^2; summing the (a, s)-block partials outside the kernel
+    replaces a separate full-sinogram XLA reduction per iteration)."""
     ax = ax_ref[:]
+    b = b_ref[:]
     beta = beta_ref[0, 0]
     ay = ax + beta * (ax - axold_ref[:])
-    resid_ref[:] = (b_ref[:] - ay) * invrow_ref[:][:, :, None]
+    resid_ref[:] = (b - ay) * invrow_ref[:][:, :, None]
+    r = ax - b  # padded rows are 0 in both
+    # One (8, 128) VMEM tile per (a, s) block, partial sum in its [0, 0]
+    # cell, zeros elsewhere (SMEM scalar outputs need full-array blocks
+    # and dynamic program-id stores break the CPU interpreter; a padded
+    # VMEM tile per block sidesteps both — the caller just sums).
+    ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    ddsq_ref[:] = jnp.where((ii == 0) & (jj == 0), jnp.sum(r * r), 0.0)
 
 
 def _fp_resid_kernel(n, nray, prec, cos_ref, sin_ref, invd_ref, img_ref,
                      b_ref, axold_ref, invrow_ref, beta_ref,
-                     ax_ref, resid_ref):
+                     ax_ref, resid_ref, ddsq_ref):
     _fp_kernel(n, nray, prec, cos_ref, sin_ref, invd_ref, img_ref, ax_ref)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        ddsq_ref[:] = jnp.zeros_like(ddsq_ref)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         _fp_resid_epilogue(b_ref, axold_ref, invrow_ref, beta_ref,
-                           ax_ref, resid_ref)
+                           ax_ref, resid_ref, ddsq_ref)
 
 
 def _fp_resid_banded_kernel(n, nray, jw, nct, rg, unroll, prec, j0_ref,
                             cos_ref, sin_ref, invd_ref, img_ref,
                             b_ref, axold_ref, invrow_ref, beta_ref,
-                            ax_ref, resid_ref):
+                            ax_ref, resid_ref, ddsq_ref):
     _fp_banded_kernel(n, nray, jw, nct, rg, unroll, prec, j0_ref, cos_ref,
                       sin_ref, invd_ref, img_ref, ax_ref)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        ddsq_ref[:] = jnp.zeros_like(ddsq_ref)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         _fp_resid_epilogue(b_ref, axold_ref, invrow_ref, beta_ref,
-                           ax_ref, resid_ref)
+                           ax_ref, resid_ref, ddsq_ref)
 
 
 def fp_resid_pallas_sl(x, geom: Geometry, b_pad, ax_old_pad, inv_row_pad,
@@ -507,9 +527,14 @@ def fp_resid_pallas_sl(x, geom: Geometry, b_pad, ax_old_pad, inv_row_pad,
     per-iteration pad/slice copies; padded rows of `inv_row_pad` must be
     zero (making padded resid rows zero — weightless in BP anyway).
 
-    Returns (ax_pad, resid_pad):
+    Returns (ax_pad, resid_pad, ddsq):
         ax    = A x                       (padded rows = 0)
         resid = (b - (ax + beta (ax - ax_old))) * inv_row
+        ddsq  = per-(a, s)-block partial sums of (ax - b)^2, one padded
+                (8, 128) tile per block with the partial in its [0, 0]
+                cell; the caller's ||A x - b||^2 is ddsq.sum() — replaces
+                a separate full-sinogram XLA reduction in the scanned
+                FISTA driver
     """
     n, _, ns = x.shape
     nray, na = geom.nray, geom.nproj
@@ -533,9 +558,12 @@ def fp_resid_pallas_sl(x, geom: Geometry, b_pad, ax_old_pad, inv_row_pad,
     beta_spec = pl.BlockSpec(
         (1, 1), lambda a, s, k: (0, 0), memory_space=pltpu.SMEM
     )
+    ddsq_spec = pl.BlockSpec((8, 128), lambda a, s, k: (a, s))
     out_shape = (
         jax.ShapeDtypeStruct((na_pad, nray, ns_pad), x.dtype),
         jax.ShapeDtypeStruct((na_pad, nray, ns_pad), x.dtype),
+        jax.ShapeDtypeStruct((na_pad // a_blk * 8, ns_pad // s_blk * 128),
+                             jnp.float32),
     )
     grid = (na_pad // a_blk, ns_pad // s_blk, n)
     if _use_banded(n, nray):
@@ -551,7 +579,7 @@ def fp_resid_pallas_sl(x, geom: Geometry, b_pad, ax_old_pad, inv_row_pad,
                 grid=grid,
                 in_specs=[j0_spec, ang_spec, ang_spec, ang_spec, img_spec,
                           sino_spec, sino_spec, ir_spec, beta_spec],
-                out_specs=(sino_spec, sino_spec),
+                out_specs=(sino_spec, sino_spec, ddsq_spec),
                 out_shape=out_shape,
                 compiler_params=_compiler_params(),
                 interpret=interpret,
@@ -562,7 +590,7 @@ def fp_resid_pallas_sl(x, geom: Geometry, b_pad, ax_old_pad, inv_row_pad,
         grid=grid,
         in_specs=[ang_spec, ang_spec, ang_spec, img_spec,
                   sino_spec, sino_spec, ir_spec, beta_spec],
-        out_specs=(sino_spec, sino_spec),
+        out_specs=(sino_spec, sino_spec, ddsq_spec),
         out_shape=out_shape,
         compiler_params=_compiler_params(),
         interpret=interpret,

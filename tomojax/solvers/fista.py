@@ -231,7 +231,7 @@ def fista_init_sl(x0, sys: System, b_sl) -> FistaStateSL:
     @jax.jit
     def init(xsl, b_sl):
         b_pad = _pad_sino_sl(b_sl, sys)
-        ax, resid = fp_resid_pallas_sl(
+        ax, resid, _ = fp_resid_pallas_sl(
             xsl, sys.geom, b_pad, jnp.zeros_like(b_pad), _inv_row_pad(sys),
             jnp.float32(0.0), interpret=_interp(),
         )
@@ -275,37 +275,41 @@ def fista_step_sl(
     # programs (~0.28 ms at 90->96 angles), more than the copy.
     z = bp_pallas_sl(state.resid[:na, :, :ns], geom, interpret=interp,
                      y_vol=y, inv_col2d=ic2d)
-    if compat == "reference" and momentum:
-        x_new = z
-    else:
-        x_new, _ = tv_fgp_pallas_fused(z, n_tv_iter, lam, interpret=interp)
     if momentum:
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * state.t**2))
         beta = (state.t - 1.0) / t_new
     else:
         t_new = state.t
         beta = jnp.float32(0.0)
+    if compat == "reference" and momentum:
+        x_new = z
+        y_new = x_new + beta * (x_new - state.x_old)
+    elif momentum:
+        # Nesterov extrapolation fused into the final FGP obj kernel
+        # (saves one full-volume elementwise pass per iteration)
+        x_new, y_new, _ = tv_fgp_pallas_fused(
+            z, n_tv_iter, lam, interpret=interp, mom=(state.x_old, beta)
+        )
+    else:
+        x_new, _ = tv_fgp_pallas_fused(z, n_tv_iter, lam, interpret=interp)
+        y_new = x_new  # x_old = x_new keeps ax == A x_old (see fista_step)
     # FP with the NEXT residual fused as an epilogue:
     # resid_new = (b - (ax_new + beta (ax_new - ax_old))) * inv_row
-    ax_new, resid_new = fp_resid_pallas_sl(
+    ax_new, resid_new, ddsq = fp_resid_pallas_sl(
         x_new, geom, b_pad, state.ax, _inv_row_pad(sys), beta,
         interpret=interp,
     )
-    if momentum:
-        y_new = x_new + beta * (x_new - state.x_old)
-        state = FistaStateSL(x=x_new, x_old=x_new, yk=y_new, t=t_new,
-                             ax=ax_new, resid=resid_new)
-    else:
-        # x_old = x_new: keeps ax == A x_old (see fista_step)
-        state = FistaStateSL(x=x_new, x_old=x_new, yk=x_new, t=t_new,
-                             ax=ax_new, resid=resid_new)
+    state = FistaStateSL(x=x_new, x_old=x_new, yk=y_new, t=t_new,
+                         ax=ax_new, resid=resid_new)
     if not compute_metrics:
         z0 = jnp.float32(0.0)
         return state, (z0, z0, z0)
-    r = ax_new - b_pad  # padded rows are 0 in both
-    dd = jnp.sqrt(jnp.sum(r * r))
+    # ||A x - b||^2 from the FP epilogue's per-block partials (the
+    # separate full-sinogram reduction cost a dispatch + 2 streams)
+    ddsq_total = jnp.sum(ddsq)
+    dd = jnp.sqrt(ddsq_total)
     tv_val = tvmod.tv(x_new)  # value is axis-permutation invariant
-    cost = 0.5 * dd**2 + lam * tv_val
+    cost = 0.5 * ddsq_total + lam * tv_val
     return state, (cost, dd, tv_val)
 
 

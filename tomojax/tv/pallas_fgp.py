@@ -74,6 +74,18 @@ def _obj_kernel(lam, x_ref, p1_ref, p1m_ref, p2_ref, p3_ref, d_ref):
     d_ref[0, 0] = jnp.maximum(x_ref[0, 0] - lam * div, 0.0)
 
 
+def _obj_mom_kernel(lam, x_ref, p1_ref, p1m_ref, p2_ref, p3_ref,
+                    xold_ref, beta_ref, d_ref, y_ref):
+    """Final obj pass with the FISTA Nesterov extrapolation fused as an
+    epilogue: y = d + beta (d - x_old) emitted from the same plane block
+    (the separate XLA elementwise pass costs an extra read of d and
+    x_old plus a dispatch inside the scanned FISTA driver)."""
+    _obj_kernel(lam, x_ref, p1_ref, p1m_ref, p2_ref, p3_ref, d_ref)
+    d = d_ref[0, 0]
+    beta = beta_ref[0, 0]
+    y_ref[0, 0] = d + beta * (d - xold_ref[0, 0])
+
+
 def _grad_kernel(multip, d_ref, dn_ref, p1_ref, p2_ref, p3_ref,
                  o1_ref, o2_ref, o3_ref):
     i = pl.program_id(1)
@@ -272,7 +284,8 @@ def _fused_plane_block(nz: int) -> int:
 
 
 def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
-                        dual_dtype=None, fuse_pairs: bool = False):
+                        dual_dtype=None, fuse_pairs: bool = False,
+                        mom=None):
     """FGP with the obj+grad passes fused into one kernel per iteration.
 
     Exact reformulation of `tv_fgp_pallas` (equal to f32 rounding;
@@ -293,6 +306,11 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
     kernels are f32 throughout (tv_fgp.cu:44-115); this deviation is a
     TPU perf knob, measured convergence-equivalent on the BASELINE
     FISTA-TV problem (see config.py).
+
+    mom: optional (x_old, beta) — fuse the FISTA Nesterov extrapolation
+    y = d + beta (d - x_old) into the final obj kernel (beta may be a
+    traced scalar); the return becomes (d, y, tv_of_input). 3D input
+    only (the FISTA fast path, solvers/fista.py fista_step_sl).
 
     Accepts (nz, ny, nx) or (nel, nz, ny, nx): the element axis folds
     into the kernel grid as a pure batch dimension. For 4D input tv0 is
@@ -343,15 +361,30 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
     spec_prev = pl.BlockSpec(
         (1, 1, ny, nx), lambda e, i: (e, jnp.maximum(i - 1, 0), 0, 0)
     )
-    obj = pl.pallas_call(
-        partial(_obj_kernel, lam),
-        grid=(nel, nz),
-        in_specs=[spec, spec, spec_prev, spec, spec],
-        out_specs=spec,
-        out_shape=shape,
-        compiler_params=_tv_compiler_params(nx),
-        interpret=interpret,
-    )
+    if mom is None:
+        obj = pl.pallas_call(
+            partial(_obj_kernel, lam),
+            grid=(nel, nz),
+            in_specs=[spec, spec, spec_prev, spec, spec],
+            out_specs=spec,
+            out_shape=shape,
+            compiler_params=_tv_compiler_params(nx),
+            interpret=interpret,
+        )
+    else:
+        assert squeeze, "mom epilogue is 3D-only (FISTA fast path)"
+        beta_spec = pl.BlockSpec(
+            (1, 1), lambda e, i: (0, 0), memory_space=pltpu.SMEM
+        )
+        obj_mom = pl.pallas_call(
+            partial(_obj_mom_kernel, lam),
+            grid=(nel, nz),
+            in_specs=[spec, spec, spec_prev, spec, spec, spec, beta_spec],
+            out_specs=(spec, spec),
+            out_shape=(shape, shape),
+            compiler_params=_tv_compiler_params(nx),
+            interpret=interpret,
+        )
 
     def body(_, carry):
         p1, p2, p3 = carry
@@ -412,6 +445,11 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
     else:
         z = jnp.zeros(x4.shape, dual_dtype)
         p1, p2, p3 = jax.lax.fori_loop(0, m, body, (z, z, z))
+    if mom is not None:
+        x_old, beta = mom
+        beta_arr = jnp.reshape(jnp.asarray(beta, x4.dtype), (1, 1))
+        d, y = obj_mom(x4, p1, p1, p2, p3, x_old[None], beta_arr)
+        return d[0], y[0], tv0
     d = obj(x4, p1, p1, p2, p3)
     return (d[0] if squeeze else d), tv0
 
