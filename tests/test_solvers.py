@@ -377,3 +377,35 @@ def test_fista_momentum_toggle_keeps_invariants(tilt_problem):
         assert float(jnp.max(jnp.abs(st.ay - ay_true))) < 1e-4, mom
         assert float(jnp.max(jnp.abs(st.ax - ax_true))) < 1e-4, mom
         assert np.isfinite(float(m[0]))
+
+
+def test_seed_fp_cache_keys_on_config_knobs(tilt_problem):
+    """The cached seeding FP must key on every trace-time config knob the
+    projector dispatch reads (round-3 review finding: changing
+    mxu/pallas precision or banding after the first fista_init silently
+    reused a stale-precision seed)."""
+    from tomojax.solvers import fista_init, fista_init_sl, to_sl
+    from tomojax.solvers.fista import _seed_fp, _seed_fp_sl
+    from tomojax import config as tjconfig
+
+    geom, sysd, ph, b = tilt_problem
+    x0 = jnp.zeros_like(ph)
+    fista_init(x0, sysd)
+    size0 = _seed_fp.cache_info().currsize
+    fista_init(x0, sysd)  # same knobs: no new entry, no re-trace
+    assert _seed_fp.cache_info().currsize == size0
+    prec0 = tjconfig.mxu_precision
+    try:
+        tjconfig.set_projector_mode("auto", precision=jax.lax.Precision.HIGHEST)
+        fista_init(x0, sysd)
+        assert _seed_fp.cache_info().currsize == size0 + 1
+    finally:
+        tjconfig.set_projector_mode("auto", precision=prec0)
+
+    # slice-last seeding program: cached too (was a fresh jit per call)
+    b_sl = to_sl(b)
+    fista_init_sl(x0, sysd, b_sl)
+    s0 = _seed_fp_sl.cache_info()
+    fista_init_sl(x0, sysd, b_sl)
+    s1 = _seed_fp_sl.cache_info()
+    assert s1.currsize == s0.currsize and s1.hits == s0.hits + 1

@@ -401,7 +401,13 @@ class TomoTPU:
                 self.sys, self._sart_w, params,
                 random_order=(init == "random"),
             )
-            self._order_key, sub = jax.random.split(self._order_key)
+            if init == "random":
+                self._order_key, sub = jax.random.split(self._order_key)
+            else:
+                # don't consume the stream when the order is sequential —
+                # the host-loop driver doesn't either, so mixed fused/host
+                # call sequences stay reproducibility-equivalent
+                sub = jax.random.PRNGKey(0)
             self.x, dd_vec, tv_vec = run(self.x, self.b, sub)
             self.dd_vec = np.asarray(dd_vec)
             self.tv_vec = np.asarray(tv_vec)

@@ -759,11 +759,13 @@ def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
     grid = (n_pad // rb, ns_pad // s_blk, na_pad)
     vol_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
     ic_spec = pl.BlockSpec((rb, n), lambda r, s, k: (r, 0))
+    extra_args, extra_specs = [], []
     if fused:
         # pad the epilogue operands' row axis along with the output grid:
         # padded rows produce values the [:n] output slice discards
         yv = _pad_axis(_pad_axis(y_vol, 2, ns_pad), 0, n_pad)
-        inv_col2d = _pad_axis(inv_col2d, 0, n_pad)
+        extra_args = [yv, _pad_axis(inv_col2d, 0, n_pad)]
+        extra_specs = [vol_spec, ic_spec]
     if _use_banded(n, nray):
         j0, jw, nct = _band_windows_bp(geom, rb, n_pad, n)
         if _band_enabled(jw, nct, nray, "bp"):
@@ -773,49 +775,26 @@ def bp_pallas_sl(yt, geom: Geometry, precision=None, rb: int = 32,
                 (1, na_pad, nct), lambda r, s, k: (r, 0, 0),
                 memory_space=pltpu.SMEM,
             )
-            kern = partial(
-                _bp_banded_kernel, n, nray, jw, nct, rb, fused,
-                _BAND_UNROLL, prec,
-            )
-            if fused:
-                out = pl.pallas_call(
-                    kern, grid=grid,
-                    in_specs=[j0_spec, ang_spec, ang_spec, ang_spec,
-                              sino_spec, vol_spec, ic_spec],
-                    out_specs=out_spec, out_shape=out_shape,
-                    compiler_params=_compiler_params(),
-                    interpret=interpret,
-                )(j0, cos, sin, invd, yt, yv, inv_col2d)
-            else:
-                out = pl.pallas_call(
-                    kern, grid=grid,
-                    in_specs=[j0_spec, ang_spec, ang_spec, ang_spec,
-                              sino_spec],
-                    out_specs=out_spec, out_shape=out_shape,
-                    compiler_params=_compiler_params(),
-                    interpret=interpret,
-                )(j0, cos, sin, invd, yt)
+            out = pl.pallas_call(
+                partial(_bp_banded_kernel, n, nray, jw, nct, rb, fused,
+                        _BAND_UNROLL, prec),
+                grid=grid,
+                in_specs=[j0_spec, ang_spec, ang_spec, ang_spec,
+                          sino_spec] + extra_specs,
+                out_specs=out_spec, out_shape=out_shape,
+                compiler_params=_compiler_params(),
+                interpret=interpret,
+            )(j0, cos, sin, invd, yt, *extra_args)
             return out[:n, :, :ns]
-    kern = partial(_bp_kernel, n, nray, rb, fused, prec)
-    if fused:
-        out = pl.pallas_call(
-            kern, grid=grid,
-            in_specs=[ang_spec, ang_spec, ang_spec, sino_spec,
-                      vol_spec, ic_spec],
-            out_specs=out_spec,
-            out_shape=out_shape,
-            compiler_params=_compiler_params(),
-            interpret=interpret,
-        )(cos, sin, invd, yt, yv, inv_col2d)
-    else:
-        out = pl.pallas_call(
-            kern, grid=grid,
-            in_specs=[ang_spec, ang_spec, ang_spec, sino_spec],
-            out_specs=out_spec,
-            out_shape=out_shape,
-            compiler_params=_compiler_params(),
-            interpret=interpret,
-        )(cos, sin, invd, yt)
+    out = pl.pallas_call(
+        partial(_bp_kernel, n, nray, rb, fused, prec),
+        grid=grid,
+        in_specs=[ang_spec, ang_spec, ang_spec, sino_spec] + extra_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(cos, sin, invd, yt, *extra_args)
     return out[:n, :, :ns]
 
 

@@ -51,20 +51,33 @@ import functools
 
 
 @functools.lru_cache(maxsize=16)
-def _seed_fp(geom, mode, mesh):
+def _seed_fp(geom, mode, mesh, knobs):
     """Jitted seeding FP, cached per (geometry, resolved dispatch mode,
-    mesh-in-scope) so repeated reconstructions don't re-trace/re-compile
-    it (a fresh lambda per call guaranteed a jit cache miss). mode/mesh
-    are cache keys only — fp reads the config at trace time."""
-    del mesh
+    mesh-in-scope, trace-time perf knobs) so repeated reconstructions
+    don't re-trace/re-compile it (a fresh lambda per call guaranteed a
+    jit cache miss). mode/mesh/knobs are cache keys only — fp reads the
+    config at trace time; every config value fp's trace depends on MUST
+    appear in `knobs`, else a knob change after the first call would
+    silently reuse a stale-precision seed (review finding, round 3)."""
+    del mesh, knobs
     return jax.jit(lambda v: fp(v, geom, mode))
+
+
+def _seed_knobs(tjconfig):
+    """The trace-time config values the projector dispatch reads."""
+    return (
+        tjconfig.mxu_precision,
+        tjconfig.pallas_precision,
+        tjconfig.banded_projector,
+    )
 
 
 def _seed_projection(x0, sys: System):
     from tomojax import config as tjconfig
 
     return _seed_fp(
-        sys.geom, tjconfig.resolve_projector_mode(), tjconfig.active_mesh
+        sys.geom, tjconfig.resolve_projector_mode(), tjconfig.active_mesh,
+        _seed_knobs(tjconfig),
     )(x0)
 
 
@@ -220,24 +233,43 @@ def _inv_row_pad(sys: System):
     return jnp.pad(ir, ((0, na_pad - ir.shape[0]), (0, 0)))
 
 
+@functools.lru_cache(maxsize=16)
+def _seed_fp_sl(geom, interpret, knobs):
+    """Jitted slice-last seeding program, cached per (geometry, backend
+    interpret flag, trace-time perf knobs) — same staleness rule as
+    _seed_fp: every config value the kernel trace reads is in `knobs`.
+    sys fields arrive as traced args (they are derived from geom, but
+    keying the cache on array identity would be fragile)."""
+    del knobs
+    from tomojax.projector.pallas_joseph import (
+        _round_up, _slice_block, fp_resid_pallas_sl,
+    )
+
+    @jax.jit
+    def init(xsl, b_sl, inv_row):
+        na, _, ns = b_sl.shape
+        na_pad = _round_up(geom.nproj, 16)
+        ns_pad = _round_up(ns, _slice_block(ns))
+        b_pad = jnp.pad(b_sl, ((0, na_pad - na), (0, 0), (0, ns_pad - ns)))
+        ir_pad = jnp.pad(inv_row, ((0, na_pad - inv_row.shape[0]), (0, 0)))
+        ax, resid, _ = fp_resid_pallas_sl(
+            xsl, geom, b_pad, jnp.zeros_like(b_pad), ir_pad,
+            jnp.float32(0.0), interpret=interpret,
+        )
+        return ax, resid
+
+    return init
+
+
 def fista_init_sl(x0, sys: System, b_sl) -> FistaStateSL:
     """x0 in the public (Ns, N, N) layout, b_sl the slice-last sinogram
     (`to_sl(b)`); the state is slice-last with PADDED projection-space
     fields (the scan then carries no per-iteration pad/slice copies)."""
-    from tomojax.projector.pallas_joseph import fp_resid_pallas_sl
+    from tomojax import config as tjconfig
 
     xsl = to_sl(jnp.asarray(x0, jnp.float32))
-
-    @jax.jit
-    def init(xsl, b_sl):
-        b_pad = _pad_sino_sl(b_sl, sys)
-        ax, resid, _ = fp_resid_pallas_sl(
-            xsl, sys.geom, b_pad, jnp.zeros_like(b_pad), _inv_row_pad(sys),
-            jnp.float32(0.0), interpret=_interp(),
-        )
-        return ax, resid
-
-    ax, resid = init(xsl, b_sl)
+    init = _seed_fp_sl(sys.geom, _interp(), _seed_knobs(tjconfig))
+    ax, resid = init(xsl, b_sl, sys.inv_row[0])
     return FistaStateSL(x=xsl, x_old=xsl, yk=xsl, t=jnp.float32(1.0),
                         ax=ax, resid=resid)
 
