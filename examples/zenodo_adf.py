@@ -29,6 +29,32 @@ Without a dataset argument the script self-checks the recipe on the
 synthetic 256^3 au_sto-style nanocube phantom (the reference's simulated
 stand-in, cpu/sim_tomo.py:10-11), so the full pipeline is exercisable in
 CI and in this container.
+
+Parity gate (--compare ref_trace.jsonl): loads a per-iteration trace
+recorded from the reference CUDA build and asserts normalized-curve
+agreement. To record the trace on a CUDA box, patch the reference's
+fista loop (tomofusion/gpu/reconstructor.py:121-155) with three lines
+inside the `for k in range(Niter)` body, after the cost computation
+(reconstructor.py:152):
+
+    import json                                           # once, at top
+    print(json.dumps({"iter": k, "dd": float(self.tomo.data_distance()),
+                      "tv": float(self.tomo.tv())}))
+
+and pipe stdout to ref_trace.jsonl. Accepted line format: JSON objects
+with "dd" and optionally "tv"/"cost"; iteration order = line order.
+
+Comparison semantics: both dd and tv curves are normalized by their
+first value before comparing — the Joseph (ours) and ASTRA (reference)
+discretizations of the SAME continuous operator differ by ~1e-3
+relative per application (docs/ARCHITECTURE.md; tests/
+test_reference_parity.py pins 0.029 absolute dd gap at N=32), so raw
+magnitudes agree only to operator tolerance while the *shape* of the
+convergence curve is the parity signal. Default tolerance 5% relative
+per iteration on the normalized curves (--compare-rtol), the measured
+envelope of the Joseph-vs-Siddon FISTA-TV gap in
+tests/test_reference_parity.py::test_fista_tv_parity plus convergence-
+rate slack; tighten when comparing tomojax against itself.
 """
 
 import argparse
@@ -54,6 +80,56 @@ def load_series(path, angles_path=None):
     return series, angles
 
 
+def load_ref_trace(path):
+    """Reference-build trace: one JSON object per line with at least
+    "dd" (and optionally "tv"); iteration order = line order."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rows.append(json.loads(line))
+    if not rows or "dd" not in rows[0]:
+        raise SystemExit(f"{path}: not a dd/tv trace (see --help)")
+    return rows
+
+
+def compare_traces(ours, ref, rtol):
+    """Assert normalized-curve agreement between our trace and a
+    reference trace (see module docstring "Parity gate"). Returns the
+    per-curve max relative deviations."""
+    n = min(len(ours), len(ref))
+    if n < 2:
+        raise SystemExit("need >= 2 common iterations to compare curves")
+    if len(ours) != len(ref):
+        print(f"note: comparing first {n} common iterations "
+              f"(ours {len(ours)}, ref {len(ref)})", file=sys.stderr)
+    devs = {}
+    for key in ("dd", "tv"):
+        if key not in ref[0] or key not in ours[0]:
+            continue
+        a = np.asarray([r[key] for r in ours[:n]], np.float64)
+        b = np.asarray([r[key] for r in ref[:n]], np.float64)
+        if a[0] <= 0 or b[0] <= 0:
+            raise SystemExit(f"cannot normalize {key}: first value <= 0")
+        a, b = a / a[0], b / b[0]
+        denom = np.maximum(np.abs(b), 1e-12)
+        devs[key] = float(np.max(np.abs(a - b) / denom))
+    if not devs:
+        raise SystemExit("reference trace shares no comparable keys")
+    failed = {k: v for k, v in devs.items() if v > rtol}
+    for k, v in sorted(devs.items()):
+        status = "FAIL" if k in failed else "ok"
+        print(f"parity[{k}]: max normalized deviation {v:.4f} "
+              f"(rtol {rtol}) {status}", file=sys.stderr)
+    if failed:
+        raise SystemExit(
+            f"reference-trace parity FAILED: {failed} exceed rtol={rtol}"
+        )
+    return devs
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("dataset", nargs="?", default=None,
@@ -67,6 +143,14 @@ def main(argv=None):
     ap.add_argument("--out", default="results/zenodo_adf")
     ap.add_argument("--selfcheck-size", type=int, default=64,
                     help="phantom size when no dataset is given")
+    ap.add_argument("--compare", default=None, metavar="TRACE.jsonl",
+                    help="reference-build dd/tv trace to assert parity "
+                         "against (see module docstring for the 3-line "
+                         "reference patch that records it)")
+    ap.add_argument("--compare-rtol", type=float, default=0.05,
+                    help="max relative deviation of the normalized "
+                         "curves (default 0.05 — the documented "
+                         "Joseph-vs-ASTRA envelope)")
     args = ap.parse_args(argv)
 
     import jax
@@ -120,6 +204,9 @@ def main(argv=None):
         recon=tomo.get_recon(),
     )
     print(f"saved {args.out}.h5", file=sys.stderr)
+    if args.compare:
+        compare_traces(trace, load_ref_trace(args.compare),
+                       args.compare_rtol)
     # convergence sanity: dd must drop (substantially for a full run)
     factor = 0.5 if args.niter >= 20 else 1.0
     assert trace[-1]["dd"] < factor * trace[0]["dd"], (

@@ -79,6 +79,25 @@ def main():
         st1, (cost1, dd1, _) = step(st1, b1)
     out["fista_dd_unsharded"] = float(dd1)
 
+    # 2b. the pod-production program shape EXECUTED across the process
+    # boundary: scan(fista_run) — all iterations in ONE program — over the
+    # process-spanning mesh (round-3 VERDICT #6: this composition was only
+    # proven on a single-process virtual mesh). Reference driver loop:
+    # mpi_astra_ctvlib.cpp:211-231.
+    from tomojax.solvers import fista_run
+
+    str_ = fista_init(
+        jax.jit(lambda: jnp.zeros((NS, N, N), jnp.float32),
+                out_shardings=slab3)(),
+        sysd,
+    )
+    runp = jax.jit(lambda s, bb: fista_run(s, bb, sysd, 0.05, 3, 5, True))
+    str_, mrun = runp(str_, b)
+    out["fista_run_dd"] = [float(v) for v in np.asarray(mrun)[:, 1]]
+    st1r = fista_init(jnp.zeros((NS, N, N), jnp.float32), sysd)
+    st1r, mrun1 = runp(st1r, b1)
+    out["fista_run_dd_unsharded"] = [float(v) for v in np.asarray(mrun1)[:, 1]]
+
     # 3. control-decision broadcast (rank-0 bcast parity)
     val = 42.5 if proc_id == 0 else -1.0
     out["bcast_value"] = float(dist.process_zero_value(np.float32(val)))

@@ -127,3 +127,55 @@ def test_zenodo_adf_selfcheck(tmp_path):
     assert rows[-1]["dd"] < rows[0]["dd"]
     assert {"iter", "dd", "tv", "cost"} <= set(rows[0])
     assert (tmp_path / "zen/out.h5").exists()
+
+
+def test_zenodo_adf_compare_gate(tmp_path):
+    """The --compare parity gate (round-3 VERDICT #7): a recorded
+    reference-format trace passes when the normalized curves agree (here:
+    a trace recorded from an identical run, plus an operator-scale factor
+    the normalization must cancel) and FAILS the run when they diverge
+    beyond --compare-rtol."""
+    import json as _json
+
+    out = _run(
+        [f"{REPO}/examples/zenodo_adf.py", "--niter", "8",
+         "--selfcheck-size", "32", "--out", "zen/a"],
+        cwd=str(tmp_path),
+    )
+    rows = [_json.loads(l) for l in out.strip().splitlines()]
+    # reference-build stand-in trace: same convergence curve, different
+    # absolute operator scale (ASTRA vs Joseph norms differ ~1e-3; use a
+    # gross 1.7x to prove the normalization cancels scale entirely)
+    ref = tmp_path / "ref_trace.jsonl"
+    with open(ref, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(
+                {"iter": r["iter"], "dd": 1.7 * r["dd"], "tv": 1.7 * r["tv"]}
+            ) + "\n")
+    _run(
+        [f"{REPO}/examples/zenodo_adf.py", "--niter", "8",
+         "--selfcheck-size", "32", "--out", "zen/b",
+         "--compare", str(ref), "--compare-rtol", "0.02"],
+        cwd=str(tmp_path),
+    )
+    # diverged trace (convergence curve drifts 5%/iter — a genuinely
+    # different trajectory, not a scale change): the gate must fail
+    bad = tmp_path / "bad_trace.jsonl"
+    with open(bad, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(
+                {"iter": r["iter"], "dd": r["dd"] * 1.05 ** r["iter"],
+                 "tv": r["tv"]}
+            ) + "\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, f"{REPO}/examples/zenodo_adf.py", "--niter", "8",
+         "--selfcheck-size", "32", "--out", "zen/c",
+         "--compare", str(bad), "--compare-rtol", "0.02"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert r.returncode != 0
+    assert "parity FAILED" in (r.stderr + r.stdout)

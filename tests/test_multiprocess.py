@@ -94,6 +94,19 @@ def test_sharded_fista_across_processes(results):
     assert r0["fista_cost"] == pytest.approx(r1["fista_cost"], rel=1e-6)
 
 
+def test_scanned_fista_run_across_processes(results):
+    """The pod-production shape — scan(fista_run) + sharding + psum'd
+    metrics in ONE program — executed across a real process boundary
+    (round-3 VERDICT #6). Per-iteration dd matches the unsharded run and
+    both processes see identical scalars."""
+    r0, r1 = results
+    assert len(r0["fista_run_dd"]) == 3
+    assert r0["fista_run_dd"] == pytest.approx(r1["fista_run_dd"], rel=1e-6)
+    assert r0["fista_run_dd"] == pytest.approx(
+        r0["fista_run_dd_unsharded"], rel=2e-4
+    )
+
+
 def test_process_zero_broadcast(results):
     """Both processes receive process 0's control value (the reference's
     comm.bcast of the new-data decision)."""

@@ -309,6 +309,46 @@ def test_fista_sl_matches_slice_first():
     np.testing.assert_allclose(np.asarray(msl), np.asarray(ms), rtol=2e-4)
 
 
+def test_fista_sl_momentum_false_beta0_path():
+    """momentum=False routes through the momentum program with a traced
+    beta=0 (round-3 VERDICT #5: the dedicated no-momentum scan variant
+    compiled pathologically on v5e); it must match the host-loop
+    momentum=False iterates exactly the way the momentum path does."""
+    from tomojax.solvers import (
+        fista_init, fista_step, fista_init_sl, fista_run_sl, from_sl, to_sl,
+    )
+    from tomojax import config as tjconfig
+
+    ns, n, na = 8, 32, 15
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-70, 70, na)))
+    sysd = make_system(geom)
+    gt = jnp.asarray(np.stack([shepp_logan(n)] * ns), jnp.float32)
+    b = fp(gt, geom)
+
+    st = fista_init(jnp.zeros((ns, n, n), jnp.float32), sysd)
+    step = jax.jit(lambda s, bb: fista_step(s, bb, sysd, 0.05, 5, False))
+    ms = []
+    for _ in range(4):
+        st, m = step(st, b)
+        ms.append([float(v) for v in m])
+
+    stl = fista_init_sl(jnp.zeros((ns, n, n), jnp.float32), sysd, to_sl(b))
+    run = jax.jit(
+        lambda s, bb: fista_run_sl(s, bb, sysd, 0.05, 4, 5, False)
+    )
+    try:
+        tjconfig.set_tv_impl("auto", dual_dtype=jnp.float32)
+        stl, msl = run(stl, to_sl(b))
+    finally:
+        tjconfig.set_tv_impl("auto", dual_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(from_sl(stl.x)), np.asarray(st.x), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(msl), np.asarray(ms), rtol=2e-4)
+    # beta=0 really means no extrapolation: yk == x
+    np.testing.assert_array_equal(np.asarray(stl.yk), np.asarray(stl.x))
+
+
 def test_bp_sirt_epilogue_matches_composition():
     """bp_pallas_sl(y_vol=, inv_col2d=) == max(y + C * A^T r, 0)."""
     from tomojax.projector.pallas_joseph import bp_pallas_sl
@@ -394,13 +434,20 @@ def test_seed_fp_cache_keys_on_config_knobs(tilt_problem):
     size0 = _seed_fp.cache_info().currsize
     fista_init(x0, sysd)  # same knobs: no new entry, no re-trace
     assert _seed_fp.cache_info().currsize == size0
-    prec0 = tjconfig.mxu_precision
+    # snapshot BOTH precision knobs: set_projector_mode(precision=) writes
+    # mxu_precision AND pallas_precision, so restoring from the mxu value
+    # alone would leave pallas_precision at HIGHEST for the rest of the
+    # session (advisor finding, round 3: silently switched later tests off
+    # the default bf16 Pallas path)
+    prec_mxu, prec_pallas = tjconfig.mxu_precision, tjconfig.pallas_precision
     try:
         tjconfig.set_projector_mode("auto", precision=jax.lax.Precision.HIGHEST)
         fista_init(x0, sysd)
         assert _seed_fp.cache_info().currsize == size0 + 1
     finally:
-        tjconfig.set_projector_mode("auto", precision=prec0)
+        tjconfig.projector_mode = "auto"
+        tjconfig.mxu_precision = prec_mxu
+        tjconfig.pallas_precision = prec_pallas
 
     # slice-last seeding program: cached too (was a fresh jit per call)
     b_sl = to_sl(b)

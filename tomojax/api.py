@@ -303,7 +303,7 @@ class TomoTPU:
         self.restart_recon()
         self.cost = np.zeros(Niter, np.float32)
         if fused:
-            if (self.mesh is None and momentum
+            if (self.mesh is None
                     and jax.default_backend() != "cpu"
                     and _tjconfig.resolve_projector_mode() == "pallas"
                     and _tjconfig.use_pallas_tv()):
@@ -312,10 +312,12 @@ class TomoTPU:
                 # any size, absorbed by the persistent cache.)
                 # single-device fast path: slice-last layout, fused BP
                 # epilogue (solvers/fista.py fista_run_sl). momentum=False
-                # is excluded — its scan compiles pathologically on v5e
-                # (185 ms/iter measured vs 15 with momentum) — and CPU
-                # backends keep the XLA driver (interpret-mode pallas is
-                # a correctness tool, not a fast path).
+                # routes through the SAME momentum program with a traced
+                # beta=0 (fista_step_sl) — the dedicated no-momentum scan
+                # variant compiled pathologically on v5e (185 ms/iter vs
+                # 15; diagnosis recorded in fista.py). CPU backends keep
+                # the XLA driver (interpret-mode pallas is a correctness
+                # tool, not a fast path).
                 from tomojax.solvers import (
                     fista_init_sl, fista_run_sl, from_sl, to_sl,
                 )
