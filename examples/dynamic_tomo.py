@@ -27,6 +27,15 @@ def main():
     ap.add_argument("--watch-only", action="store_true",
                     help="don't simulate; just watch --dir")
     ap.add_argument("--ckpt", default="results/dynamic/ckpt.h5")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the streaming reconstruction as z-slabs "
+                         "over all devices (the reference's distributed "
+                         "dynamic driver, examples/dynamicTomo.py:38-88; "
+                         "with jax.distributed initialized this spans "
+                         "processes: rank-0 watches + broadcasts, "
+                         "checkpoints write per-host shards)")
+    ap.add_argument("--alg", default="sirt", choices=["sirt", "cs"],
+                    help="per-round solver (cs = ASD-POCS-style rounds)")
     args = ap.parse_args()
 
     os.makedirs(args.dir, exist_ok=True)
@@ -44,10 +53,17 @@ def main():
         geom = Geometry.make(args.n, np.deg2rad(angles))
         b = np.asarray(fp(jnp.asarray(vol), geom))
 
+    mesh = None
+    if args.mesh:
+        from tomojax import dist
+
+        mesh = dist.make_mesh()
+        print(f"mesh: {mesh.devices.size} devices")
+
     watcher = TiltWatcher(args.dir, preprocess=False)
     rec = DynamicReconstructor(
         nray=args.n, max_angles=args.nproj, angle_bucket=args.batch,
-        checkpoint_path=args.ckpt,
+        checkpoint_path=args.ckpt, mesh=mesh, alg=args.alg,
     )
     rec.resume()
 
@@ -67,15 +83,17 @@ def main():
             print(f"round {round_no}: +{len(new)} projections "
                   f"({len(rec.angles)}/{args.nproj})")
         if rec.projections:
-            dd = rec.iterate(args.iters_per_round)
+            do_iter = rec.iterate_cs if args.alg == "cs" else rec.iterate
+            dd = do_iter(args.iters_per_round)
             print(f"  dd = {dd:.4f}")
         round_no += 1
         if args.watch_only and round_no > 1000:
             break
-    rec.iterate(args.iters_per_round)
+    do_iter = rec.iterate_cs if args.alg == "cs" else rec.iterate
+    do_iter(args.iters_per_round)
     rec.checkpoint()
     if vol is not None:
-        x = np.asarray(rec.x)
+        x = rec.get_recon()
         print("final RMSE vs ground truth:",
               float(np.sqrt(np.mean((x - vol) ** 2))))
     print(f"checkpoint saved to {args.ckpt}")

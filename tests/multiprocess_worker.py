@@ -119,6 +119,56 @@ def main():
     out["ckpt_roundtrip_err"] = float(
         jnp.max(jnp.abs(restored["x"] - st.x))
     )
+
+    # 6. the COMPOSED distributed dynamic-acquisition driver (round-3
+    # VERDICT #1; reference examples/dynamicTomo.py:38-88): process 0's
+    # watcher sees the acquisition directory, process 1 watches an empty
+    # one; DynamicReconstructor.run() polls through poll_multihost,
+    # iterates sharded over the process-spanning mesh, and writes the
+    # per-acquisition sharded checkpoint. Two acquisition rounds, then a
+    # sharded resume.
+    from tomojax.geometry import Geometry as _G  # noqa: F401 (already imported)
+    from tomojax.stream import DynamicReconstructor
+
+    DNS, DN, DNA = 8, 32, 8
+    dgeom = Geometry.make(DN, np.deg2rad(np.linspace(-60, 60, DNA)))
+    dvol = np.stack(
+        [rng.random((DN, DN)).astype(np.float32)] * DNS
+    )
+    db = np.asarray(jax.jit(lambda v: fp(v, dgeom))(jnp.asarray(dvol)))
+    dyn_dir = os.path.join(
+        workdir, "dyn_tilts" if proc_id == 0 else f"dyn_empty_{proc_id}"
+    )
+    os.makedirs(dyn_dir, exist_ok=True)
+    watcher = stream.TiltWatcher(dyn_dir, preprocess=False)
+    rec = DynamicReconstructor(
+        nray=DN, max_angles=DNA, angle_bucket=4, mesh=mesh,
+        checkpoint_path=os.path.join(workdir, "dyn_ckpt.h5"),
+    )
+    dangles = np.linspace(-60, 60, DNA)
+    for rnd, sl in enumerate((slice(0, 4), slice(4, 8))):
+        if proc_id == 0:  # "acquisition" lands a batch on disk
+            for i in range(sl.start, sl.stop):
+                np.save(
+                    os.path.join(dyn_dir, f"proj_{dangles[i]:.1f}.npy"),
+                    db[:, i, :],
+                )
+        rec.run(watcher, iters_per_round=3, max_rounds=3,
+                expected_angles=sl.stop)
+    out["dyn_dd"] = [float(v) for v in rec.dd_history]
+    out["dyn_n_angles"] = len(rec.angles)
+    out["dyn_shape"] = list(rec.x.shape)
+    recon = rec.get_recon()
+    out["dyn_recon_checksum"] = float(np.abs(recon).sum())
+    rec2 = DynamicReconstructor(
+        nray=DN, max_angles=DNA, mesh=mesh,
+        checkpoint_path=os.path.join(workdir, "dyn_ckpt.h5"),
+    )
+    assert rec2.resume()
+    out["dyn_resume_err"] = float(
+        np.max(np.abs(rec2.get_recon() - recon))
+    )
+    out["dyn_resume_hist_len"] = len(rec2.dd_history)
     out["ok"] = True
 
     with open(os.path.join(workdir, f"result_{proc_id}.json"), "w") as f:

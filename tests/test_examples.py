@@ -89,6 +89,25 @@ def test_dynamic_tomo(tmp_path):
     assert (tmp_path / "c.h5").exists()
 
 
+def test_dynamic_tomo_mesh(tmp_path):
+    """--mesh runs the streaming recipe z-slab-sharded over the virtual
+    8-device mesh (conftest XLA flags propagate through _run's env) and
+    writes the sharded checkpoint layout (orbax shards + h5 sidecar)."""
+    env_flags = os.environ.get("XLA_FLAGS", "")
+    assert "host_platform_device_count" in env_flags  # conftest set it
+    out = _run(
+        [f"{REPO}/examples/dynamic_tomo.py", "--dir", str(tmp_path / "s"),
+         "--nslice", "8", "--n", "32", "--nproj", "8", "--batch", "4",
+         "--iters-per-round", "5", "--ckpt", str(tmp_path / "c.h5"),
+         "--mesh"],
+        cwd=str(tmp_path),
+    )
+    assert "mesh: 8 devices" in out
+    assert "final RMSE" in out
+    assert (tmp_path / "c.h5").exists()
+    assert (tmp_path / "c.h5.shards").is_dir()
+
+
 def test_fusion_demo(tmp_path):
     out = _run(
         [f"{REPO}/examples/fusion_demo.py", "--nslice", "2", "--n", "32",

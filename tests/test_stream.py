@@ -96,6 +96,86 @@ def test_watcher_and_dynamic_recon(tmp_path):
     assert len(rec2.dd_history) > 0
 
 
+def test_dynamic_recon_sharded_matches_unsharded(tmp_path):
+    """The composed distributed dynamic driver (round-3 VERDICT #1): the
+    same 2-acquisition-round streaming reconstruction run z-slab-sharded
+    over the 8-device virtual mesh produces the same dd history and
+    volume as the unsharded run, and the sharded checkpoint (orbax
+    shards + history sidecar) resumes in place."""
+    from tomojax import dist
+
+    angles = np.linspace(-60, 60, 16)
+    geom = Geometry.make(N, np.deg2rad(angles))
+    ns = 4  # pads to the 8-device mesh (zero-measurement slices)
+    ph = np.stack([shepp_logan(N)] * ns)
+    b = np.asarray(fp(jnp.asarray(ph), geom))
+    mesh = dist.make_mesh()
+
+    recs = []
+    for mesh_arg, tag in ((None, "plain"), (mesh, "sharded")):
+        rec = DynamicReconstructor(
+            nray=N, max_angles=16, angle_bucket=8, mesh=mesh_arg,
+            checkpoint_path=str(tmp_path / f"ck_{tag}.h5"),
+        )
+        # acquisition round 1: first half of the angles
+        rec.add_projections(
+            [(a, b[:, i, :]) for i, a in enumerate(angles[:8])]
+        )
+        rec.iterate(5)
+        rec.checkpoint()
+        # round 2: operator grows (bucket 8 -> 16) while sharded
+        rec.add_projections(
+            [(a, b[:, 8 + i, :]) for i, a in enumerate(angles[8:])]
+        )
+        rec.iterate(5)
+        rec.checkpoint()
+        recs.append(rec)
+    plain, sharded = recs
+    assert sharded.x.shape[0] == 8  # slice axis padded to the mesh
+    np.testing.assert_allclose(
+        sharded.dd_history, plain.dd_history, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        sharded.get_recon(), plain.get_recon(), rtol=2e-4, atol=2e-5
+    )
+    assert sharded.get_recon().shape == (ns, N, N)
+
+    # sharded resume: volume comes back from the orbax shards
+    rec2 = DynamicReconstructor(
+        nray=N, max_angles=16, mesh=mesh,
+        checkpoint_path=str(tmp_path / "ck_sharded.h5"),
+    )
+    assert rec2.resume()
+    assert rec2.x.shape == sharded.x.shape
+    np.testing.assert_allclose(
+        rec2.get_recon(), sharded.get_recon(), atol=1e-6
+    )
+    np.testing.assert_allclose(rec2.dd_history, sharded.dd_history)
+
+
+def test_dynamic_recon_sharded_cs(tmp_path):
+    """The CS (ASD-POCS-style) streaming rounds also run sharded; with
+    the slice count divisible by the mesh (no pad slices in the periodic
+    TV wrap) they match the unsharded run."""
+    from tomojax import dist
+
+    angles = np.linspace(-50, 50, 8)
+    geom = Geometry.make(N, np.deg2rad(angles))
+    ns = 8
+    ph = np.stack([shepp_logan(N)] * ns)
+    b = np.asarray(fp(jnp.asarray(ph), geom))
+    mesh = dist.make_mesh()
+    dds = []
+    for mesh_arg in (None, mesh):
+        rec = DynamicReconstructor(
+            nray=N, max_angles=8, angle_bucket=4, alg="cs", mesh=mesh_arg
+        )
+        rec.add_projections([(a, b[:, i, :]) for i, a in enumerate(angles)])
+        rec.iterate_cs(4)
+        dds.append(rec.dd_history[-1])
+    assert dds[1] == pytest.approx(dds[0], rel=2e-4)
+
+
 def test_overshoot_max_angles(tmp_path):
     """More projections than max_angles must grow the operator, not crash
     (acquisitions can overshoot the estimate)."""

@@ -78,6 +78,25 @@ def shard_volume(x, mesh: Mesh, axis: int = 0):
     return jax.device_put(x, NamedSharding(mesh, slab_spec(np.ndim(x), axis)))
 
 
+def shard_global(x, mesh: Mesh, axis: int = 0):
+    """Place a host array that every process holds in full as z-slabs of
+    a (possibly multi-process) global array.
+
+    `shard_volume`'s device_put requires every shard to be addressable,
+    which fails on a mesh spanning processes; `make_array_from_callback`
+    lets each process contribute only the slabs it owns — the analog of
+    each MPI rank loading `recon[s + firstSlice()]` from the replicated
+    host data (reference examples/sim_ASD.py:49-50). On a single-process
+    mesh the two are equivalent. axis=None replicates instead of
+    sharding (for masks/small operands fed to the same jit)."""
+    x = np.asarray(x)
+    spec = P() if axis is None else slab_spec(x.ndim, axis)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        x.shape, sharding, lambda idx: x[idx]
+    )
+
+
 def shard_volume_4d(x, mesh: Mesh):
     """(Nel, Ns, N, N) chemistry stack: shard the slice axis (axis 1)."""
     return jax.device_put(x, NamedSharding(mesh, slab_spec(4, 1)))

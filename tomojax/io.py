@@ -107,8 +107,13 @@ def load_results(path: str):
 
 def save_checkpoint(path: str, recon, history: Dict, params: Optional[Dict] = None):
     """Dynamic-experiment checkpoint (logger.py:216-233): recon + metric
-    history, resumable mid-acquisition."""
-    save_results(path, meta=params or {}, results=history, recon=np.asarray(recon))
+    history, resumable mid-acquisition. recon=None writes a history-only
+    sidecar (the sharded streaming path stores the volume separately via
+    `save_sharded`)."""
+    save_results(
+        path, meta=params or {}, results=history,
+        recon=None if recon is None else np.asarray(recon),
+    )
 
 
 def load_checkpoint(path: str):
