@@ -94,6 +94,31 @@ def test_live_monitor(tmp_path):
     assert (tmp_path / "live.png").exists()
 
 
+def test_volume_viewer_interactive(tmp_path):
+    """show_volume(interactive=True): slider-driven 3-plane viewer
+    (Tk-viewer parity, round-3 VERDICT #9) — scrubbing a slider updates
+    the displayed plane, set_volume live-swaps data, save writes."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from tomojax import viz
+
+    vol = np.zeros((6, 16, 16), np.float32)
+    vol[4] = 1.0  # marker slice
+    v = viz.show_volume(vol, path=str(tmp_path / "v.png"), interactive=True)
+    assert (tmp_path / "v.png").exists()
+    assert v.ims[0].get_array().max() == 0.0  # central slice 3 is empty
+    v.set_slices(xy=4)
+    assert v.ims[0].get_array().max() == 1.0  # scrubbed to the marker
+    assert v.idx[0] == 4
+    v.set_slices(xz=2, yz=7)
+    assert v.idx == [4, 2, 7]
+    v.set_volume(vol * 2)
+    assert v.ims[0].get_array().max() == 2.0
+    v.save(str(tmp_path / "v2.png"))
+    assert (tmp_path / "v2.png").exists()
+
+
 def test_dynamic_cs_round(tmp_path):
     from tomojax.geometry import Geometry
     from tomojax.projector.joseph import fp

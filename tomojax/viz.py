@@ -76,14 +76,105 @@ def plot_fusion_costs(cost_haadf, cost_chem, cost_tv,
     return _finish(fig, path)
 
 
-def show_volume(vol: np.ndarray, path: Optional[str] = None):
-    """Three orthogonal central slices (XY / XZ / YZ), the headless
-    equivalent of the reference's Tk viewer (reconstructor.py:221-383)."""
+class VolumeViewer:
+    """Interactive 3-plane slice viewer — parity with the reference's Tk
+    volume viewers (gpu/reconstructor.py:221-383 and
+    chemistry/reconstructor.py:251-382: three orthogonal planes, one
+    scale/slider per plane to scrub through slices), redesigned on
+    matplotlib Slider widgets so it runs on any matplotlib backend: an
+    interactive window when a display exists, and fully scriptable
+    headless (`set_slices` + `save`) — usable mid-run from the streaming
+    loop the way the reference scrubs during dynamic experiments."""
+
+    _PLANES = ("XY", "XZ", "YZ")
+
+    def __init__(self, vol: np.ndarray, cmap: str = "gray"):
+        import matplotlib.pyplot as plt
+        from matplotlib.widgets import Slider
+
+        self.vol = vol = np.asarray(vol)
+        assert vol.ndim == 3, f"expected a 3D volume, got {vol.shape}"
+        self.fig, axes = plt.subplots(1, 3, figsize=(12, 4.8))
+        self.fig.subplots_adjust(bottom=0.22)
+        vmin, vmax = float(vol.min()), float(vol.max())
+        self.idx = [s // 2 for s in vol.shape]
+        self.ims = []
+        self.sliders = []
+        for k, ax in enumerate(axes):
+            im = ax.imshow(self._plane(k, self.idx[k]), cmap=cmap,
+                           vmin=vmin, vmax=vmax)
+            ax.set_title(f"{self._PLANES[k]} view")
+            ax.axis("off")
+            self.ims.append(im)
+            sax = self.fig.add_axes([0.13 + 0.28 * k, 0.08, 0.18, 0.03])
+            s = Slider(sax, f"{self._PLANES[k]}", 0, vol.shape[k] - 1,
+                       valinit=self.idx[k], valstep=1)
+            s.on_changed(lambda v, k=k: self._update(k, int(v)))
+            self.sliders.append(s)
+
+    def _plane(self, k: int, i: int) -> np.ndarray:
+        if k == 0:
+            return self.vol[i]
+        if k == 1:
+            return self.vol[:, i, :]
+        return self.vol[:, :, i]
+
+    def _update(self, k: int, i: int):
+        self.idx[k] = i
+        self.ims[k].set_data(self._plane(k, i))
+        self.fig.canvas.draw_idle()
+
+    def set_slices(self, xy: Optional[int] = None, xz: Optional[int] = None,
+                   yz: Optional[int] = None):
+        """Programmatic scrubbing (drives the sliders, so the display
+        and callbacks stay consistent)."""
+        for k, v in enumerate((xy, xz, yz)):
+            if v is not None:
+                self.sliders[k].set_val(int(v))
+        return self
+
+    def set_volume(self, vol: np.ndarray):
+        """Swap in a new volume at the current slice positions (live
+        updates during a run, like the reference's dynamic dashboard)."""
+        self.vol = np.asarray(vol)
+        for k in range(3):
+            self.idx[k] = min(self.idx[k], self.vol.shape[k] - 1)
+            self.ims[k].set_data(self._plane(k, self.idx[k]))
+        self.fig.canvas.draw_idle()
+        return self
+
+    def save(self, path: str):
+        self.fig.savefig(path, dpi=120, bbox_inches="tight")
+        return path
+
+    def show(self):
+        import matplotlib.pyplot as plt
+
+        plt.show()
+        return self
+
+
+def show_volume(vol: np.ndarray, path: Optional[str] = None,
+                interactive: bool = False):
+    """Three orthogonal slices (XY / XZ / YZ) of a volume.
+
+    Default: static central-slice figure (saved to `path` or shown).
+    interactive=True returns a `VolumeViewer` with one slice slider per
+    plane — the Tk-viewer equivalent (reconstructor.py:221-383); when
+    `path` is given the viewer's initial view is also saved."""
     import matplotlib
 
     if path:
         matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
+
+    if interactive:
+        viewer = VolumeViewer(vol)
+        if path:
+            viewer.save(path)
+        else:
+            plt.show()
+        return viewer
 
     vol = np.asarray(vol)
     nx, ny, nz = vol.shape
