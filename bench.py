@@ -110,6 +110,126 @@ def main(markdown: bool = False):
         )
 
 
+def _slope(f, x, iters=6, reps=3):
+    """Per-call ms by slope timing (the remote backend caches identical
+    (executable, input) pairs; chaining v = f(v) keeps inputs fresh)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(v, k):
+        for _ in range(k):
+            v = f(v)
+        return jnp.sum(v)
+
+    c1 = jax.jit(lambda v: chain(v, 1))
+    ck = jax.jit(lambda v: chain(v, 1 + iters))
+    float(c1(x)), float(ck(x))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter(); float(c1(x)); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(ck(x)); tk = time.perf_counter() - t0
+        best = min(best, (tk - t1) / iters * 1e3)
+    return best
+
+
+def asd(ns=256, n=256, na=90):
+    """ASD-POCS workload rows (round-3 VERDICT #3): the SART sweep (the
+    reference's canonical distributed workload, examples/sim_ASD.py:67-94)
+    and the full ASD-POCS iteration (SART + ng=10 TV-GD + metrics).
+    Emits one JSON line per row and rewrites results/bench_asd.json."""
+    import jax
+    import jax.numpy as jnp
+    from tomojax.geometry import Geometry
+    from tomojax.solvers import make_system, make_sart_weights
+    from tomojax.solvers.iterative import sart_sweep
+    from tomojax.solvers.asd_pocs import make_asd_pocs_iteration
+
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-76, 76, na)))
+    sysd = make_system(geom)
+    w = make_sart_weights(sysd)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((ns, n, n)).astype(np.float32))
+    b = jnp.asarray(rng.random((ns, na, n)).astype(np.float32))
+
+    sweep_ms = _slope(lambda v: sart_sweep(v, b, sysd, w, 0.8), x)
+    it = make_asd_pocs_iteration(sysd, w, 10)
+    order = jnp.arange(na, dtype=jnp.int32)
+    iter_ms = _slope(
+        lambda v: it(v, b, 0.25, 0.1, order, False, 0.2)[0], x
+    )
+    rows = []
+    for name, ms in (("sart_sweep", sweep_ms), ("asd_pocs_iter", iter_ms)):
+        rec = {
+            "metric": f"{name}_voxel_iters_per_s_{ns}x{n}x{n}_{na}ang",
+            "value": round(ns * n * n / (ms / 1e3), 1),
+            "unit": "voxel-iters/s",
+            "ms": round(ms, 2),
+            "vs_baseline": 1.0,
+        }
+        rows.append(rec)
+        print(json.dumps(rec))
+    if jax.default_backend() == "cpu":
+        return  # don't clobber the TPU artifact with CPU smoke numbers
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "results", "bench_asd.json"), "w") as f:
+        json.dump({
+            "description": "ASD-POCS workload rows (bench.py --asd): "
+                           "SART sweep + full adaptive iteration "
+                           "(SART + 10 TV-GD steps + dp/dd/dg metrics) "
+                           "on one chip.",
+            "device": jax.devices()[0].device_kind,
+            "rows": rows,
+        }, f, indent=1)
+
+
+def fusion_bench(nel=3, ns=128, n=256, na=90, nac=45):
+    """Fusion outer-iteration row (round-3 VERDICT #3): one
+    data_fusion_step (HAADF SIRT-fused update + chem Poisson grad) +
+    tvIter=5 4D FGP — the reference chemistry flagship loop
+    (chemistry/reconstructor.py:182-225). Rewrites
+    results/bench_fusion.json."""
+    import jax
+    import jax.numpy as jnp
+    from tomojax.fusion import make_fusion_system, data_fusion_step
+    from tomojax.fusion.multimodal import tv_fgp_4d
+
+    w = np.ones(nel, np.float32)
+    fsys = make_fusion_system(
+        n, np.deg2rad(np.linspace(-76, 76, na)),
+        np.deg2rad(np.linspace(-76, 76, nac)), w, 1.6,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((nel, ns, n, n)).astype(np.float32))
+    bh = jnp.asarray(rng.random((ns, na, n)).astype(np.float32))
+    bc = jnp.asarray(rng.random((nel, ns, nac, n)).astype(np.float32))
+
+    def outer(v):
+        v, _, _ = data_fusion_step(v, bh, bc, fsys, 10.0, 0.05, 5)
+        v, _ = tv_fgp_4d(v, 5, 1e-4)
+        return v
+
+    ms = _slope(outer, x, iters=4)
+    rec = {
+        "metric": f"fusion_outer_iter_voxel_iters_per_s_{nel}el_{ns}x{n}x{n}",
+        "value": round(nel * ns * n * n / (ms / 1e3), 1),
+        "unit": "voxel-iters/s",
+        "ms": round(ms, 2),
+        "vs_baseline": 1.0,
+    }
+    print(json.dumps(rec))
+    if jax.default_backend() == "cpu":
+        return  # don't clobber the TPU artifact with CPU smoke numbers
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "results", "bench_fusion.json"), "w") as f:
+        json.dump({
+            "description": "Fusion outer iteration (bench.py --fusion): "
+                           "data_fusion_step (iterSIRT=5) + 4D FGP "
+                           "(tvIter=5) at the chemistry flagship shape.",
+            "device": jax.devices()[0].device_kind,
+            "rows": [rec],
+        }, f, indent=1)
+
+
 def scaling(max_devices=None, ns=64, n=128, na=45, iters=10):
     """Strong-scaling study (BASELINE.md target: voxels/s at 1 chip ->
     N devices, >=80% linear). Shards the FISTA-TV step as z-slabs over
@@ -177,6 +297,12 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         sys.argv.remove("--scaling")
         scaling(*(int(a) for a in sys.argv[1:5]) if len(sys.argv) > 1 else ())
+    elif "--asd" in sys.argv:
+        sys.argv.remove("--asd")
+        asd(*(int(a) for a in sys.argv[1:4]))
+    elif "--fusion" in sys.argv:
+        sys.argv.remove("--fusion")
+        fusion_bench(*(int(a) for a in sys.argv[1:5]))
     else:
         markdown = "--markdown" in sys.argv
         sys.argv = [a for a in sys.argv if a != "--markdown"]

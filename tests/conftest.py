@@ -9,10 +9,17 @@ imported jax and selected another platform.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+if os.environ.get("TOMOJAX_TEST_TPU") == "1":
+    # Opt-in real-hardware mode: leave the backend alone so the
+    # TPU-gated golden-trace tests (test_golden_traces.py) run on the
+    # chip:  TOMOJAX_TEST_TPU=1 pytest tests/test_golden_traces.py
+    import jax  # noqa: F401
+else:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

@@ -401,6 +401,43 @@ def test_fista_sl_non_multiple_of_rb():
     )
 
 
+def test_pallas_sart_matches_xla_sweep():
+    """The fused Pallas SART (volume tile resident in VMEM across the
+    ordered angle loop, solvers/pallas_sart.py) is the same block-
+    Kaczmarz sweep as the XLA sart_sweep — sequential and random order,
+    relaxation beta, clamp per block."""
+    from tomojax.solvers import make_sart_weights
+    from tomojax.solvers.iterative import sart_sweep
+    from tomojax.solvers.pallas_sart import sart_sweep_pallas
+
+    ns, n, na = 5, 32, 9
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-70, 70, na)))
+    sysd = make_system(geom)
+    w = make_sart_weights(sysd)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.random((ns, n, n)).astype(np.float32))
+    b = fp(jnp.asarray(np.stack([shepp_logan(n)] * ns)), geom)
+    for order in (None, jnp.asarray(rng.permutation(na).astype(np.int32))):
+        ref = sart_sweep(x0, b, sysd, w, beta=0.7, order=order)
+        got = sart_sweep_pallas(
+            x0, b, geom, sysd.inv_row[0], w, beta=0.7, order=order,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
+        )
+    # traced beta (the ASD-POCS composition decays beta inside jit)
+    stepped = jax.jit(
+        lambda bb: sart_sweep_pallas(
+            x0, b, geom, sysd.inv_row[0], w, beta=bb, interpret=True
+        )
+    )(jnp.float32(0.7))
+    ref = sart_sweep(x0, b, sysd, w, beta=0.7)
+    np.testing.assert_allclose(
+        np.asarray(stepped), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_fista_momentum_toggle_keeps_invariants(tilt_problem):
     """Toggling momentum across calls on the same state must keep the
     carried projections valid: ay == A yk and ax == A x_old at every

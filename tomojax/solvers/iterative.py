@@ -121,7 +121,27 @@ def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
     two full-volume transposes per angle, ~2.3x the sweep time). Per
     angle: one row-chunked MXU FP contraction, then an update scan that
     applies ``W^T resid`` chunk-by-chunk (same W => exact per-block
-    adjoint), with relaxation/weights/clamp per ASTRA semantics."""
+    adjoint), with relaxation/weights/clamp per ASTRA semantics.
+
+    On a single-device TPU with the Pallas projector mode resolved, the
+    sweep dispatches to the fused Pallas kernel
+    (solvers/pallas_sart.py): the volume tile stays resident in VMEM
+    across the whole ordered angle loop, cutting the sweep's HBM
+    traffic from ~3 volume passes per angle (~17 GB) to one read+write
+    total — measured 27.6 -> 22.2 ms per 90-angle sweep at 256^3 on
+    v5e (1.24x; the kernel is now compute-bound: the ablation in
+    scripts/exp_sart_ablate.py and docs/ARCHITECTURE.md shows the hat
+    build exposed on the in-kernel fori critical path)."""
+    if (
+        jax.default_backend() != "cpu"
+        and jax.device_count() == 1
+        and tjconfig.resolve_projector_mode(None) == "pallas"
+    ):
+        from tomojax.solvers.pallas_sart import sart_sweep_pallas
+
+        return sart_sweep_pallas(
+            x, b, sys.geom, sys.inv_row[0], inv_col_a, beta, order
+        )
     geom = sys.geom
     na, n, nt = geom.nproj, geom.n, geom.nray
     ns = x.shape[0]

@@ -1,0 +1,251 @@
+"""Fused Pallas SART sweep: the volume tile stays resident in VMEM
+across the entire ordered angle loop.
+
+Round-3 VERDICT #3: the XLA `sart_sweep` (solvers/iterative.py) runs at
+27.6 ms per 90-angle sweep at 256^3 on v5e — ~2x its HBM floor —
+because each angle's FP pass and update pass stream the full volume
+through HBM (3 x 64 MB x 90 angles ~ 17 GB/sweep). ASTRA's CUDA SART
+has the same structure per slice (reference tomoengine.cpp:162-179 runs
+Nproj ordered sub-iterations, each a full FP + correction).
+
+The kernel here exploits that SART's angle loop is *sequential by
+construction* (block-Kaczmarz): grid = (slice-blocks, angles) with the
+angle axis innermost and 'arbitrary', and the volume OUTPUT block index
+constant along the angle axis — so Mosaic keeps the (n, n, s_blk)
+volume tile in VMEM for all Na angle steps, reading HBM once and
+writing once per slice block. Per angle step, entirely in VMEM:
+
+    proj  = sum_chunks W_chunk^T @ x_chunk          (MXU)
+    resid = (b_a - proj) * R_a                      (VPU, (nt, s_blk))
+    x_chunk = max(x_chunk + beta * C_a * W_chunk @ resid, 0)
+
+with the interpolation W rebuilt per chunk from the closed form (same
+unified Joseph weights as projector/pallas_joseph.py, so FP and update
+use the exact same W — the per-block adjoint pairing ASTRA guarantees).
+HBM traffic per sweep: volume read+write once (128 MB at 256^3) +
+sinogram + per-angle C_a tables (~50 MB) instead of ~17 GB.
+
+Ordered/random visiting order is handled by pre-permuting the per-angle
+operands (b, R_a, C_a, angle tables) outside the kernel — O(Na) cheap
+gathers; the kernel always walks its operands 0..Na-1.
+
+Measured (v5e, 256^3 x 90, min-of-3 slope): 22.2 ms/sweep vs 27.6 for
+the XLA sweep (1.24x). The HBM win is complete (time is linear in Na —
+7.7 ms at 30 angles — so the volume traffic is gone); the kernel is now
+COMPUTE-bound, and unlike the grid-pipelined FP/BP kernels the hat
+build sits exposed on the in-kernel fori critical path (ablation,
+scripts/exp_sart_ablate.py: hat 13.4 ms of 22.3 vs a 4.6 ms VPU-peak
+model; dot+streams 9.0). Measured-out levers: 5-op fma/min hat with
+deferred 1/D (neutral, kept for simplicity), manual loop rotation
+carrying W across iterations (1.35x SLOWER — doubled live W), and a
+grid-phase restructure (chunk loop as a third grid axis) whose compile
+is pathological on this toolchain. See docs/ARCHITECTURE.md.
+
+Dispatched from solvers.iterative.sart_sweep on single-device TPU
+('pallas' resolved mode); interpret-mode on CPU is test-only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tomojax.geometry import Geometry
+from tomojax import config as tjconfig
+from tomojax.projector.pallas_joseph import (
+    _angle_tables,
+    _kernel_precision,
+    _pad_axis,
+    _round_up,
+)
+
+
+def _sart_params():
+    dims = ("parallel", "arbitrary")
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=dims, vmem_limit_bytes=100 * 1024 * 1024
+        )
+    except TypeError:
+        try:
+            return pltpu.CompilerParams(dimension_semantics=dims)
+        except TypeError:
+            return None
+
+
+def _sart_kernel(n, nt, ch, prec, cos_ref, sin_ref, invd_ref, beta_ref,
+                 x_ref, b_ref, invrow_ref, invc_ref, out_ref, sem):
+    beta = beta_ref[0, 0]  # traced relaxation (ASD-POCS decays it per iter)
+    k = pl.program_id(1)
+    s = pl.program_id(0)
+    s_blk = out_ref.shape[-1]
+
+    @pl.when(k == 0)
+    def _():
+        # Seed the resident volume tile straight from HBM. x stays in
+        # ANY/HBM (no block window): a windowed x input would cost a
+        # double-buffered (n, n, s_blk) VMEM allocation — 64 MB at 256³,
+        # which together with the out window's 64 MB OOM'd the chip
+        # (measured 130/128 MB) — for data the kernel reads exactly once.
+        cp = pltpu.make_async_copy(
+            x_ref.at[:, :, pl.ds(s * s_blk, s_blk)], out_ref, sem
+        )
+        cp.start()
+        cp.wait()
+    ck = cos_ref[0, k]
+    sk = sin_ref[0, k]
+    invd = invd_ref[0, k]
+    off = (nt - 1) / 2.0
+    ctr = (n - 1) / 2.0
+    xc = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32) - ctr
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0).astype(jnp.float32)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nt), 2).astype(jnp.float32)
+    nch = n // ch
+
+    def wchunk(i):
+        """(ch*n, nt) UNSCALED hat weights for rows [i*ch, (i+1)*ch).
+
+        Unlike the grid-pipelined FP/BP kernels — where the ablation
+        (scripts/exp_hat_model.py) measured the hat chain as free — the
+        in-kernel fori here exposes the hat on the critical path
+        (scripts/exp_sart_ablate.py: 13.4 of 22.3 ms at 256^3 x 90), so
+        op-count reductions pay directly: the fma/min form drops the
+        abs, and the outer *1/D is deferred into per-angle SCALARS
+        (resid scale in the FP pass, beta*1/D in the update), leaving a
+        5-op chain instead of the naive 7 (6 + the R fold)."""
+        yr = ctr - (i * ch + iota_r)  # (ch, 1)
+        jstar = ck * xc + (sk * yr + off)  # (ch, n)
+        u = (iota_j - jstar[:, :, None]) * invd  # (ch, n, nt)
+        w = jnp.maximum(0.0, jnp.minimum(1.0 - u, 1.0 + u))
+        return w.reshape(ch * n, nt)
+
+    def fp_body(i, acc):
+        w = wchunk(i)
+        xb = out_ref[pl.ds(i * ch, ch), :, :].reshape(ch * n, s_blk)
+        return acc + jax.lax.dot_general(
+            w, xb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    proj = jax.lax.fori_loop(
+        0, nch, fp_body, jnp.zeros((nt, s_blk), jnp.float32)
+    )
+    resid = b_ref[0] - invd * proj  # deferred W scale: A x = invd hat^T x
+
+    def upd_body(i, _):
+        # R is folded into the update weights (W^T diag(R) resid):
+        # invrow arrives as a (1, nt) lane vector, which broadcasts over
+        # the (ch*n, nt) W directly — reshaping it to (nt, 1) to scale
+        # `resid` would be a lane->sublane transpose Mosaic can't do.
+        w = wchunk(i) * invrow_ref[0]
+        upd = jax.lax.dot_general(
+            w, resid, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).reshape(ch, n, s_blk)
+        idx = (pl.ds(i * ch, ch), slice(None), slice(None))
+        invc = invc_ref[0, pl.ds(i * ch, ch), :]
+        # beta * invd carries the update pass's deferred W scale
+        out_ref[idx] = jnp.maximum(
+            out_ref[idx] + (beta * invd) * invc[:, :, None] * upd, 0.0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nch, upd_body, 0)
+
+
+def _sart_slice_block(n: int, ns: int) -> int:
+    """Slice block: the lane dim must be a multiple of 128 or the full
+    (8-padded) extent; the VMEM fit is controlled by `_sart_chunk`
+    instead (shrinking the lane block below 128 is illegal, shrinking
+    the row chunk is free)."""
+    if ns < 128:
+        return _round_up(ns, 8)
+    s = 128
+    while 2 * n * n * s * 4 > 72 * 1024 * 1024 and s > 128:
+        s -= 128
+    return s
+
+
+def _sart_chunk(n: int, nt: int, s_blk: int, ch: int) -> int:
+    """Rows per W chunk: largest power of two whose resident estimate —
+    double-buffered out window (2 n² s_blk f32) + ~3 live (ch, n, nt)
+    W/hat temporaries — fits a ~96 MB budget."""
+    vol = 2 * n * n * s_blk * 4
+    while ch > 8 and vol + 3 * ch * n * nt * 4 > 96 * 1024 * 1024:
+        ch //= 2
+    return ch
+
+
+def sart_sweep_pallas_sl(x_sl, b_sl, geom: Geometry, inv_row2d, inv_col_a,
+                         beta=1.0, order=None, precision=None, ch: int = 32,
+                         interpret: bool = False):
+    """One ordered SART pass, slice-last. x_sl: (n, n, ns); b_sl:
+    (na, nt, ns); inv_row2d: (na, nt) = System.inv_row[0]; inv_col_a:
+    (na, n, n) per-angle column weights (solvers.make_sart_weights).
+    Returns the updated (n, n, ns) volume."""
+    n, _, ns = x_sl.shape
+    na, nt = geom.nproj, geom.nray
+    assert b_sl.shape[:2] == (na, nt), b_sl.shape
+    prec = _kernel_precision(
+        precision if precision is not None else tjconfig.pallas_precision
+    )
+    if prec == "split":  # HIGH emulation needs 3 dots; use HIGHEST here
+        prec = jax.lax.Precision.HIGHEST
+    while n % ch:
+        ch //= 2
+    s_blk = _sart_slice_block(n, ns)
+    ch = _sart_chunk(n, nt, s_blk, ch)
+    ns_pad = _round_up(ns, s_blk)
+    cos, sin, invd = _angle_tables(geom, na)
+    cos, sin, invd = (t.reshape(1, na) for t in (cos, sin, invd))
+    if order is not None:
+        cos = jnp.take(cos, order, axis=1)
+        sin = jnp.take(sin, order, axis=1)
+        invd = jnp.take(invd, order, axis=1)
+        b_sl = jnp.take(b_sl, order, axis=0)
+        inv_row2d = jnp.take(inv_row2d, order, axis=0)
+        inv_col_a = jnp.take(inv_col_a, order, axis=0)
+
+    x_sl = _pad_axis(x_sl, 2, ns_pad)
+    b_sl = _pad_axis(b_sl, 2, ns_pad)
+
+    ang_spec = pl.BlockSpec((1, na), lambda s, k: (0, 0),
+                            memory_space=pltpu.SMEM)
+    beta_spec = pl.BlockSpec((1, 1), lambda s, k: (0, 0),
+                             memory_space=pltpu.SMEM)
+    vol_spec = pl.BlockSpec((n, n, s_blk), lambda s, k: (0, 0, s))
+    x_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # manual DMA at k==0
+    b_spec = pl.BlockSpec((1, nt, s_blk), lambda s, k: (k, 0, s))
+    # (na, 1, nt) layout: a (1, 1, nt) block's trailing dims equal the
+    # array's, satisfying the TPU block-shape rule (a (1, nt) block of a
+    # (na, nt) array would put a size-1 block on the sublane dim)
+    ir_spec = pl.BlockSpec((1, 1, nt), lambda s, k: (k, 0, 0))
+    ic_spec = pl.BlockSpec((1, n, n), lambda s, k: (k, 0, 0))
+    beta_arr = jnp.reshape(jnp.asarray(beta, jnp.float32), (1, 1))
+    out = pl.pallas_call(
+        partial(_sart_kernel, n, nt, ch, prec),
+        grid=(ns_pad // s_blk, na),
+        in_specs=[ang_spec, ang_spec, ang_spec, beta_spec, x_spec,
+                  b_spec, ir_spec, ic_spec],
+        out_specs=vol_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n, ns_pad), x_sl.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        compiler_params=_sart_params(),
+        interpret=interpret,
+    )(cos, sin, invd, beta_arr, x_sl, b_sl,
+      inv_row2d.reshape(na, 1, nt), inv_col_a)
+    return out[:, :, :ns]
+
+
+def sart_sweep_pallas(x, b, geom: Geometry, inv_row2d, inv_col_a, beta=1.0,
+                      order=None, precision=None, interpret: bool = False):
+    """Public-layout wrapper: x (Ns, N, N), b (Ns, Na, Nt)."""
+    out = sart_sweep_pallas_sl(
+        x.transpose(1, 2, 0), b.transpose(1, 2, 0), geom, inv_row2d,
+        inv_col_a, beta, order, precision, interpret=interpret,
+    )
+    return out.transpose(2, 0, 1)
