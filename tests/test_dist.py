@@ -326,6 +326,34 @@ def test_sharded_asd_pocs_full_pallas_path(mesh, problem):
     np.testing.assert_allclose(dd, dd_ref, rtol=1e-3)
 
 
+def test_sharded_pallas_sart_matches_unsharded(mesh, problem):
+    """Per-shard fused Pallas SART under shard_map (solver analog of the
+    shard_map projector): the ordered sweep of a slab-sharded volume
+    matches the unsharded kernel (SART couples slices only through TV,
+    which it doesn't touch — the reference's MPI slabs likewise)."""
+    from tomojax.solvers import make_sart_weights
+    from tomojax.solvers.pallas_sart import (
+        sart_sweep_pallas, sart_sweep_pallas_sharded,
+    )
+
+    geom, sysd, gt, b = problem
+    w = make_sart_weights(sysd)
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.random(gt.shape).astype(np.float32))
+    order = jnp.asarray(rng.permutation(geom.nproj).astype(np.int32))
+    ref = sart_sweep_pallas(
+        x0, b, geom, sysd.inv_row[0], w, beta=0.8, order=order,
+        interpret=True,
+    )
+    got = sart_sweep_pallas_sharded(
+        dist.shard_volume(x0, mesh), dist.shard_volume(b, mesh), geom,
+        sysd.inv_row[0], w, beta=0.8, order=order, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_sharded_fista_run_scan_pallas_path(mesh, problem):
     """The POD-PRODUCTION program shape: `fista_run` scans >=3 FISTA
     iterations into ONE traced program, composed with a mesh and BOTH

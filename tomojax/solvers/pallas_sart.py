@@ -249,3 +249,32 @@ def sart_sweep_pallas(x, b, geom: Geometry, inv_row2d, inv_col_a, beta=1.0,
         inv_col_a, beta, order, precision, interpret=interpret,
     )
     return out.transpose(2, 0, 1)
+
+
+def sart_sweep_pallas_sharded(x, b, geom: Geometry, inv_row2d, inv_col_a,
+                              beta=1.0, order=None, precision=None,
+                              mesh=None):
+    """Per-shard fused SART for z-slab-sharded volumes via shard_map —
+    legal exactly like the sharded projector (projector/sharded.py):
+    SART's block-Kaczmarz updates couple only within a slice, so each
+    device sweeps its own slab with zero cross-device traffic (the
+    reference's MPI slabs run per-slice ASTRA SART the same way,
+    mpi_astra_ctvlib.cpp:211-231). Slice count must divide the mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from tomojax.dist import SLAB_AXIS
+
+    interp = jax.default_backend() == "cpu"
+    spec3 = P(SLAB_AXIS, None, None)
+
+    def local(xl, bl):
+        return sart_sweep_pallas(
+            xl, bl, geom, inv_row2d, inv_col_a, beta, order, precision,
+            interpret=interp,
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec3, spec3), out_specs=spec3,
+        check_vma=False,  # pallas_call out_shape carries no vma info
+    )
+    return fn(x, b)
