@@ -91,9 +91,15 @@ def _sart_kernel(n, nt, ch, prec, cos_ref, sin_ref, invd_ref, beta_ref,
         # double-buffered (n, n, s_blk) VMEM allocation — 64 MB at 256³,
         # which together with the out window's 64 MB OOM'd the chip
         # (measured 130/128 MB) — for data the kernel reads exactly once.
-        cp = pltpu.make_async_copy(
-            x_ref.at[:, :, pl.ds(s * s_blk, s_blk)], out_ref, sem
+        # With a single slice block (s_blk < 128 happens only then) the
+        # whole ref is copied unsliced: a sub-128 slice of the minormost
+        # dim violates Mosaic's (1, 128) tiling ("Slice shape along
+        # dimension 2 must be aligned to tiling").
+        src = (
+            x_ref if x_ref.shape[-1] == s_blk
+            else x_ref.at[:, :, pl.ds(s * s_blk, s_blk)]
         )
+        cp = pltpu.make_async_copy(src, out_ref, sem)
         cp.start()
         cp.wait()
     ck = cos_ref[0, k]
