@@ -137,20 +137,24 @@ def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
         and tjconfig.resolve_projector_mode(None) == "pallas"
     ):
         from tomojax.solvers.pallas_sart import (
-            sart_sweep_pallas, sart_sweep_pallas_sharded,
+            fits_vmem, sart_sweep_pallas, sart_sweep_pallas_sharded,
         )
 
         mesh = tjconfig.active_mesh
-        if jax.device_count() == 1 or mesh is None or mesh.size == 1:
-            return sart_sweep_pallas(
-                x, b, sys.geom, sys.inv_row[0], inv_col_a, beta, order
-            )
-        if x.shape[0] % mesh.size == 0:
-            return sart_sweep_pallas_sharded(
-                x, b, sys.geom, sys.inv_row[0], inv_col_a, beta, order,
-                mesh=mesh,
-            )
-        # slice count not divisible by the mesh: XLA formulation below
+        # fits_vmem: the kernel's resident volume window cannot shrink
+        # below a 128-wide lane block, so n >= 512 can never compile —
+        # those shapes keep the XLA sweep.
+        if fits_vmem(sys.geom.n, x.shape[0]):
+            if jax.device_count() == 1 or mesh is None or mesh.size == 1:
+                return sart_sweep_pallas(
+                    x, b, sys.geom, sys.inv_row[0], inv_col_a, beta, order
+                )
+            if x.shape[0] % mesh.size == 0:
+                return sart_sweep_pallas_sharded(
+                    x, b, sys.geom, sys.inv_row[0], inv_col_a, beta,
+                    order, mesh=mesh,
+                )
+        # too large for VMEM residency / indivisible slab: XLA path below
     geom = sys.geom
     na, n, nt = geom.nproj, geom.n, geom.nray
     ns = x.shape[0]

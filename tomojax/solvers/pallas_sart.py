@@ -163,17 +163,26 @@ def _sart_kernel(n, nt, ch, prec, cos_ref, sin_ref, invd_ref, beta_ref,
     jax.lax.fori_loop(0, nch, upd_body, 0)
 
 
+def fits_vmem(n: int, ns: int) -> bool:
+    """Whether the resident set fits the chip: the (n, n, s_blk) out
+    window costs 2 (buffer levels) x n^2 x PADDED-lane x 4 bytes —
+    VMEM tiles are (8, 128), so a lane block below 128 still occupies
+    full 128-lane tiles (measured: a f32[512,512,8] window allocates
+    128 MB, OOMing the chip) — and the lane block cannot shrink below
+    128 anyway. n=512 would need 268 MB and can never compile; the
+    dispatch (iterative.sart_sweep) falls back to the XLA sweep."""
+    s_eff = max(_sart_slice_block(n, ns), 128)
+    return 2 * n * n * s_eff * 4 <= 72 * 1024 * 1024
+
+
 def _sart_slice_block(n: int, ns: int) -> int:
     """Slice block: the lane dim must be a multiple of 128 or the full
-    (8-padded) extent; the VMEM fit is controlled by `_sart_chunk`
-    instead (shrinking the lane block below 128 is illegal, shrinking
-    the row chunk is free)."""
+    (8-padded) extent; the VMEM fit is controlled by `_sart_chunk` and
+    the `fits_vmem` dispatch gate instead (shrinking the lane block
+    below 128 is illegal, shrinking the row chunk is free)."""
     if ns < 128:
         return _round_up(ns, 8)
-    s = 128
-    while 2 * n * n * s * 4 > 72 * 1024 * 1024 and s > 128:
-        s -= 128
-    return s
+    return 128
 
 
 def _sart_chunk(n: int, nt: int, s_blk: int, ch: int) -> int:
