@@ -401,6 +401,25 @@ def test_fista_sl_non_multiple_of_rb():
     )
 
 
+def test_sirt_pallas_fast_path_matches():
+    """The fused slice-last SIRT fast path (FP kernel + BP kernel with
+    the update+clamp epilogue) is the same ASTRA-SIRT iteration as the
+    XLA branch of sirt_sweep."""
+    from tomojax.solvers.iterative import _sirt_sweep_pallas_sl, sirt_sweep
+
+    ns, n, na = 5, 32, 11
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-68, 68, na)))
+    sysd = make_system(geom)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.random((ns, n, n)).astype(np.float32))
+    b = fp(jnp.asarray(np.stack([shepp_logan(n)] * ns)), geom)
+    ref = sirt_sweep(x0, b, sysd, 3)  # CPU: XLA branch
+    got = _sirt_sweep_pallas_sl(x0, b, sysd, 3, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_pallas_sart_matches_xla_sweep():
     """The fused Pallas SART (volume tile resident in VMEM across the
     ordered angle loop, solvers/pallas_sart.py) is the same block-
