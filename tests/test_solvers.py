@@ -420,6 +420,30 @@ def test_sirt_pallas_fast_path_matches():
     )
 
 
+def test_poisson_pallas_fast_path_matches():
+    """The Poisson-ML fast path (update+clamp fused into the BP
+    epilogue with a negative constant column scale) matches the XLA
+    branch: same iterate, same KL cost."""
+    from tomojax.solvers.iterative import (
+        _poisson_ml_step_pallas_sl, poisson_ml_step,
+    )
+
+    ns, n, na = 4, 32, 11
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-68, 68, na)))
+    sysd = make_system(geom)
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.random((ns, n, n)).astype(np.float32))
+    b = fp(jnp.asarray(np.stack([shepp_logan(n)] * ns)), geom)
+    b = b / jnp.max(b)
+    ref_x, ref_c = poisson_ml_step(x0, b, sysd, 0.1)
+    got_x, got_c = _poisson_ml_step_pallas_sl(x0, b, sysd, 0.1,
+                                              interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_x), np.asarray(ref_x), rtol=2e-4, atol=2e-5
+    )
+    assert float(got_c) == pytest.approx(float(ref_c), rel=2e-4)
+
+
 def test_pallas_sart_matches_xla_sweep():
     """The fused Pallas SART (volume tile resident in VMEM across the
     ordered angle loop, solvers/pallas_sart.py) is the same block-

@@ -384,11 +384,42 @@ def poisson_ml_step(x, b, sys: System, lam):
     Returns (x_new, kl_cost). b must be pre-normalized to max <= 1
     (tomoengine.cpp:245, done by the API layer)."""
     geom = sys.geom
+    if (
+        jax.default_backend() != "cpu"
+        and jax.device_count() == 1
+        and tjconfig.active_mesh is None
+        and tjconfig.resolve_projector_mode(None) == "pallas"
+    ):
+        return _poisson_ml_step_pallas_sl(x, b, sys, lam)
     ax = fp(x, geom)
     upd = bp((ax - b) / (ax + POISSON_EPS), geom)
     x = jnp.maximum(x - (lam / sys.lipschitz) * upd, 0.0)
     cost = jnp.sum(ax - b * jnp.log(ax + POISSON_EPS))
     return x, cost
+
+
+def _poisson_ml_step_pallas_sl(x, b, sys: System, lam,
+                               interpret: bool | None = None):
+    """Single-device TPU fast path: the update max(x - (lam/L) A^T r, 0)
+    is the BP kernel's fused SIRT epilogue max(y + C.A^T r, 0) with
+    y = x and a constant negative column scale C = -(lam/L) — same
+    kernel, no extra elementwise volume pass. Pinned by
+    test_poisson_pallas_fast_path_matches."""
+    from tomojax.projector.pallas_joseph import bp_pallas_sl, fp_pallas_sl
+
+    geom = sys.geom
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    x_sl = x.transpose(1, 2, 0)
+    b_sl = b.transpose(1, 2, 0)
+    ax_sl = fp_pallas_sl(x_sl, geom, interpret=interpret)
+    ratio = (ax_sl - b_sl) / (ax_sl + POISSON_EPS)
+    neg_scale = jnp.full((geom.n, geom.n), -lam / sys.lipschitz,
+                         jnp.float32)
+    x_new = bp_pallas_sl(ratio, geom, interpret=interpret,
+                         y_vol=x_sl, inv_col2d=neg_scale)
+    cost = jnp.sum(ax_sl - b_sl * jnp.log(ax_sl + POISSON_EPS))
+    return x_new.transpose(2, 0, 1), cost
 
 
 # ------------------------------------------------- least squares ----------
