@@ -148,6 +148,31 @@ def test_zenodo_adf_selfcheck(tmp_path):
     assert (tmp_path / "zen/out.h5").exists()
 
 
+def test_bench_flags_smoke(tmp_path):
+    """bench.py --asd / --fusion run end-to-end at toy size and emit
+    well-formed JSON rows (the driver-visible bench surface; artifact
+    files are intentionally NOT written on the CPU backend)."""
+    import json as _json
+
+    out = _run(
+        [f"{REPO}/bench.py", "--cpu", "--asd", "8", "32", "9"],
+        cwd=str(tmp_path),
+    )
+    rows = [_json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    assert {r["metric"].split("_voxel")[0] for r in rows} == {
+        "sart_sweep", "asd_pocs_iter"
+    }
+    assert all(r["value"] > 0 and r["ms"] > 0 for r in rows)
+    out = _run(
+        [f"{REPO}/bench.py", "--cpu", "--fusion", "2", "8", "32", "9"],
+        cwd=str(tmp_path),
+    )
+    rows = [_json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    assert len(rows) == 1 and rows[0]["metric"].startswith("fusion_outer")
+    # no artifact clobbering from CPU runs
+    assert not (tmp_path / "results").exists()
+
+
 def test_docs_numbers_match_artifacts():
     """Docs-truth gate (round-3 VERDICT weak #1): every bolded
     throughput claim in README/ARCHITECTURE must match a committed
