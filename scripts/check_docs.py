@@ -28,20 +28,26 @@ DOCS = ["README.md", "docs/ARCHITECTURE.md"]
 
 
 def _collect_values(obj, out):
-    """Every numeric `value` anywhere in an artifact JSON tree."""
+    """Numeric `value` fields from rows whose `unit` is voxel-iters/s.
+
+    Round-4 advisor finding: collecting EVERY numeric value (ms rows,
+    scaling efficiencies, ...) let a throughput claim accidentally match
+    an unrelated artifact number. Only throughput rows whitelist claims
+    now — a row is a dict carrying both `value` and
+    `unit == "voxel-iters/s"`."""
     if isinstance(obj, dict):
-        for k, v in obj.items():
-            if k == "value" and isinstance(v, (int, float)):
-                out.append(float(v))
-            else:
-                _collect_values(v, out)
+        v = obj.get("value")
+        if obj.get("unit") == "voxel-iters/s" and isinstance(v, (int, float)):
+            out.append(float(v))
+        for v in obj.values():
+            _collect_values(v, out)
     elif isinstance(obj, list):
         for v in obj:
             _collect_values(v, out)
 
 
 def allowed_numbers():
-    """Set of 'XXX.XM'-style strings derivable from committed artifacts."""
+    """Throughput values (in raw voxel-iters/s) from committed artifacts."""
     vals = []
     for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")) + glob.glob(
         os.path.join(REPO, "results", "*.json")
@@ -50,7 +56,7 @@ def allowed_numbers():
             _collect_values(json.load(open(path)), vals)
         except (json.JSONDecodeError, OSError):
             continue
-    return {f"{v / 1e6:.1f}" for v in vals}
+    return vals
 
 
 def bolded_throughput_claims(text):
@@ -76,13 +82,20 @@ def main() -> int:
         path = os.path.join(REPO, doc)
         text = open(path).read()
         for num, span in bolded_throughput_claims(text):
-            if num not in allowed:
+            # numeric comparison (round-4 advisor finding: exact-string
+            # matching flagged correct claims rendered as '1203M' or
+            # '1203.10M'): a claim matches if it is within 0.05M of any
+            # artifact throughput value — i.e. the artifact rounds to it
+            # at the docs' 0.1M precision.
+            claim = float(num) * 1e6
+            if not any(abs(claim - v) <= 0.05e6 for v in allowed):
                 bad.append((doc, num, span))
     if bad:
         for doc, num, span in bad:
-            print(f"DRIFT {doc}: bolded claim {num}M not in any committed "
-                  f"artifact (span: {span[:90]!r})")
-        print(f"allowed values: {sorted(allowed, key=float)}")
+            print(f"DRIFT {doc}: bolded claim {num}M not within 0.05M of "
+                  f"any committed throughput artifact (span: {span[:90]!r})")
+        print("allowed values: "
+              f"{sorted(f'{v / 1e6:.1f}' for v in set(allowed))}")
         return 1
     n = sum(
         len(bolded_throughput_claims(open(os.path.join(REPO, d)).read()))

@@ -223,7 +223,7 @@ def make_phase(geom, ns):
     beta_spec = pl.BlockSpec((1, 1), lambda s, k, p: (0, 0),
                              memory_space=pltpu.SMEM)
     vol = pl.BlockSpec((n, n, s_blk), lambda s, k, p: (0, 0, s))
-    xs = pl.BlockSpec(memory_space=pltpu.ANY)
+    xs = pl.BlockSpec(memory_space=pl.ANY)
     bs = pl.BlockSpec((1, nt, s_blk), lambda s, k, p: (k, 0, s))
     irs = pl.BlockSpec((1, 1, nt), lambda s, k, p: (k, 0, 0))
     ics = pl.BlockSpec((1, n, n), lambda s, k, p: (k, 0, 0))
@@ -269,7 +269,7 @@ def make(geom, ns, variant):
     beta_spec = pl.BlockSpec((1, 1), lambda s, k: (0, 0),
                              memory_space=pltpu.SMEM)
     vol = pl.BlockSpec((n, n, s_blk), lambda s, k: (0, 0, s))
-    xs = pl.BlockSpec(memory_space=pltpu.ANY)
+    xs = pl.BlockSpec(memory_space=pl.ANY)
     bs = pl.BlockSpec((1, nt, s_blk), lambda s, k: (k, 0, s))
     irs = pl.BlockSpec((1, 1, nt), lambda s, k: (k, 0, 0))
     ics = pl.BlockSpec((1, n, n), lambda s, k: (k, 0, 0))

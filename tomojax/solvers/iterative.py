@@ -184,14 +184,21 @@ def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
         # below a 128-wide lane block, so n >= 512 can never compile —
         # those shapes keep the XLA sweep.
         if fits_vmem(sys.geom.n, x.shape[0]):
-            if jax.device_count() == 1 or mesh is None or mesh.size == 1:
+            # Gate aligned with the SIRT/Poisson fast paths (round-4
+            # advisor): the unsharded single-device kernel only when the
+            # backend truly has one device (a multi-device backend with
+            # no registered mesh may carry a user-side device_put
+            # sharding the plain pallas_call cannot honor — that case
+            # keeps the XLA sweep, whose scan partitions fine).
+            if mesh is not None and mesh.size > 1:
+                if x.shape[0] % mesh.size == 0:
+                    return sart_sweep_pallas_sharded(
+                        x, b, sys.geom, sys.inv_row[0], inv_col_a, beta,
+                        order, mesh=mesh,
+                    )
+            elif jax.device_count() == 1:
                 return sart_sweep_pallas(
                     x, b, sys.geom, sys.inv_row[0], inv_col_a, beta, order
-                )
-            if x.shape[0] % mesh.size == 0:
-                return sart_sweep_pallas_sharded(
-                    x, b, sys.geom, sys.inv_row[0], inv_col_a, beta,
-                    order, mesh=mesh,
                 )
         # too large for VMEM residency / indivisible slab: XLA path below
     geom = sys.geom

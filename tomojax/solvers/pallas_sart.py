@@ -233,7 +233,7 @@ def sart_sweep_pallas_sl(x_sl, b_sl, geom: Geometry, inv_row2d, inv_col_a,
     beta_spec = pl.BlockSpec((1, 1), lambda s, k: (0, 0),
                              memory_space=pltpu.SMEM)
     vol_spec = pl.BlockSpec((n, n, s_blk), lambda s, k: (0, 0, s))
-    x_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # manual DMA at k==0
+    x_spec = pl.BlockSpec(memory_space=pl.ANY)  # manual DMA at k==0
     b_spec = pl.BlockSpec((1, nt, s_blk), lambda s, k: (k, 0, s))
     # (na, 1, nt) layout: a (1, 1, nt) block's trailing dims equal the
     # array's, satisfying the TPU block-shape rule (a (1, nt) block of a
