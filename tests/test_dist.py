@@ -390,3 +390,49 @@ def test_sharded_fista_run_scan_pallas_path(mesh, problem):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(metrics), np.asarray(ref_metrics),
                                rtol=1e-4)
+
+
+def test_tv_gd_reference_mpi_compat(mesh):
+    """Round-4 VERDICT #5: tv_gd(compat='reference-mpi') reproduces the
+    reference's multi-rank semantics — every shard descends its slab as
+    an independent local-periodic volume normalized by its LOCAL
+    gradient norm (tv_gd.cu:56-79,194-197 with nx=Nslice_loc,
+    mpi_astra_ctvlib.cpp:411) — so the result is shard-count-DEPENDENT,
+    unlike the default global-psum mode (the documented deviation,
+    SURVEY.md §3.3)."""
+    from tomojax import config as tjconfig
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((16, 32, 32), dtype=np.float32))
+    ng, dpocs = 5, 0.05
+    out_g, tv_g = tvmod.tv_gd(x, ng, dpocs)
+
+    with tjconfig.mesh_scope(mesh):
+        xs = dist.shard_volume(x, mesh)
+        out_c, tv_c = jax.jit(
+            lambda v: tvmod.tv_gd(v, ng, dpocs, compat="reference-mpi")
+        )(xs)
+
+    # shard-count dependence: 8 independent slabs differ from the
+    # globally-normalized (and globally-periodic) descent
+    assert not np.allclose(np.asarray(out_c), np.asarray(out_g), atol=1e-5)
+
+    # exact model: per-slab independent tv_gd (slab-local periodic wrap
+    # and slab-local norm == the unsharded call on each slab alone)
+    nsh = mesh.size
+    sl = 16 // nsh
+    slabs, tvs = [], []
+    for i in range(nsh):
+        o, t = tvmod.tv_gd(x[i * sl:(i + 1) * sl], ng, dpocs)
+        slabs.append(np.asarray(o))
+        tvs.append(float(t))
+    np.testing.assert_allclose(
+        np.asarray(out_c), np.concatenate(slabs), rtol=1e-5, atol=1e-6
+    )
+    # returned TV value: allreduced sum of the local-periodic slab TVs
+    assert float(tv_c) == pytest.approx(sum(tvs), rel=1e-5)
+
+    # no mesh in scope: compat mode degenerates to the default
+    out_1, tv_1 = tvmod.tv_gd(x, ng, dpocs, compat="reference-mpi")
+    np.testing.assert_allclose(np.asarray(out_1), np.asarray(out_g),
+                               atol=1e-6)

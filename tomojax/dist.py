@@ -25,8 +25,11 @@ hosts (BASELINE.json north star).
 
 Deviation noted in SURVEY.md §3.3: the reference's multi-rank TV-GD
 normalizes the gradient by the *local* slab norm (tv_gd.cu:194-195 is
-never all-reduced). We always compute the global norm — sharded and
-unsharded runs are bitwise-consistent here by construction.
+never all-reduced) and treats each slab as an independent periodic
+volume. We compute the global norm by default — sharded and unsharded
+runs are consistent by construction; pass
+``tv.tv_gd(..., compat='reference-mpi')`` under a mesh scope to opt in
+to the reference's shard-count-dependent behavior for trace-matching.
 """
 
 from __future__ import annotations

@@ -94,7 +94,7 @@ def _tv_grad(x):
     return g
 
 
-def tv_gd(x, ng: int, dpocs, axis_norm=None):
+def tv_gd(x, ng: int, dpocs, axis_norm=None, compat: str = "global"):
     """`ng` normalized TV-subgradient steps + positivity (tv_gd.cu:141-218).
 
     Returns (x_new, tv_of_input). `axis_norm` selects the axes over which
@@ -105,11 +105,36 @@ def tv_gd(x, ng: int, dpocs, axis_norm=None):
     backend, and to the shard_map per-slab kernel + periodic ppermute
     halo ring under a registered multi-device mesh
     (tv/pallas_tvgd_sharded.py); identical output (global psum norm —
-    the documented deviation from the reference's local-norm bug,
+    the documented deviation from the reference's local-norm behavior,
     SURVEY.md §3.3).
+
+    compat='reference-mpi' (3D, axis_norm=None, multi-device mesh in
+    scope): reproduce the reference's multi-rank semantics instead of
+    the documented deviation, for trace-matching against MPI runs. In
+    the reference, every slice-axis index of the TV-GD CUDA kernels is
+    `(i±1+nx)%nx` with nx = the rank's LOCAL slab depth
+    (tv_gd.cu:56-79 via cuda_tv_gd_3D's nx=Nslice_loc argument,
+    mpi_astra_ctvlib.cpp:411), so each rank descends its slab as an
+    independent periodic volume — the ghost slices exchanged once per
+    call (mpi_astra_ctvlib.cpp:407-408) are never read by these
+    kernels — and the per-step normalization uses the LOCAL gradient
+    norm (tv_gd.cu:194-197; the MPI_Allreduce at
+    mpi_astra_ctvlib.cpp:417 only sums the *returned* TV value). The
+    result therefore depends on the shard count; with one shard it
+    equals the default global mode.
     """
     from tomojax import config as tjconfig
 
+    if compat == "reference-mpi":
+        assert x.ndim == 3 and axis_norm is None, (
+            "reference-mpi compat models the 3D multi-rank path"
+        )
+        mesh = tjconfig.active_mesh
+        if mesh is not None and mesh.size > 1:
+            assert x.shape[0] % mesh.size == 0, (x.shape, mesh.size)
+            return _tv_gd_reference_mpi(x, ng, dpocs, mesh)
+        # single shard: the reference's nproc==1 path is plain periodic
+        # GD with the (now-global) local norm — identical to the default
     if x.ndim == 3 and axis_norm is None:
         mesh = tjconfig.sharded_pallas_tv_mesh(x.shape[0])
         if mesh is not None:
@@ -144,6 +169,45 @@ def tv_gd(x, ng: int, dpocs, axis_norm=None):
 
     x = jax.lax.fori_loop(0, ng, body, x)
     return jnp.maximum(x, 0.0), tv0
+
+
+def _tv_gd_reference_mpi(x, ng: int, dpocs, mesh):
+    """Reference multi-rank TV-GD (see tv_gd docstring): each z-slab
+    shard runs `ng` periodic-wrap subgradient steps normalized by its
+    LOCAL gradient norm, with zero cross-shard communication inside the
+    descent (matching the reference, whose halo exchange is dead code
+    for this kernel). Inside shard_map every jnp.roll is shard-local, so
+    the body is literally the single-device stencil math on the slab.
+    Returned TV value: psum of the per-slab local-periodic TVs (the
+    reference allreduces the returned scalar, mpi_astra_ctvlib.cpp:417).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from tomojax.dist import SLAB_AXIS
+
+    def local(xs, dp):
+        ip = _roll3(xs, -1, 0)
+        jp = _roll3(xs, -1, 1)
+        kp = _roll3(xs, -1, 2)
+        tv0_loc = jnp.sum(
+            jnp.sqrt(EPS_TV + (xs - ip) ** 2 + (xs - jp) ** 2
+                     + (xs - kp) ** 2)
+        )
+
+        def body(_, xx):
+            g = _tv_grad(xx)
+            nrm = jnp.sqrt(jnp.sum(g * g))  # LOCAL slab norm
+            return xx - dp * g / nrm
+
+        xs = jax.lax.fori_loop(0, ng, body, xs)
+        return jnp.maximum(xs, 0.0), jax.lax.psum(tv0_loc, SLAB_AXIS)
+
+    x_new, tv0 = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SLAB_AXIS, None, None), P()),
+        out_specs=(P(SLAB_AXIS, None, None), P()),
+    )(x, jnp.float32(dpocs))
+    return x_new, tv0
 
 
 def _fdiff(d, axis):
