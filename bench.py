@@ -41,6 +41,119 @@ def _prev_round_value(metric: str):
     return None if best is None else best[1]
 
 
+def _flagship_rows():
+    """Non-headline flagship measurements for the driver artifact
+    (round-4 VERDICT #4: a regression in SART / ASD-POCS / fusion or in
+    the production path's NUMERICS previously could not move the one
+    number the round process tracks). Returns a dict merged into the
+    headline JSON line:
+      * sart_sweep / asd_pocs_iter / fusion_outer rows (same shapes and
+        machinery as `bench.py --asd/--fusion`, so the numbers are
+        comparable with results/bench_asd.json / bench_fusion.json),
+      * golden_trace_ok — replay of the recorded production-config
+        convergence trace (tests/golden/fista_tpu_256.json) on the chip
+        with the same tolerances as
+        tests/test_golden_traces.py::test_fista_tpu_production_trace.
+    Each part degrades to an "...error" field rather than killing the
+    headline line. Skipped wholesale on CPU (the driver benches on TPU;
+    CPU smoke runs stay fast)."""
+    import jax
+    import jax.numpy as jnp
+    from tomojax.geometry import Geometry
+    from tomojax.solvers import make_system, make_sart_weights
+    from tomojax.solvers.iterative import sart_sweep
+    from tomojax.solvers.asd_pocs import make_asd_pocs_iteration
+
+    out = {}
+    ns = n = 256
+    na = 90
+    try:
+        geom = Geometry.make(n, np.deg2rad(np.linspace(-76, 76, na)))
+        sysd = make_system(geom)
+        w = make_sart_weights(sysd)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((ns, n, n)).astype(np.float32))
+        b = jnp.asarray(rng.random((ns, na, n)).astype(np.float32))
+        sweep_ms = _slope(lambda v: sart_sweep(v, b, sysd, w, 0.8), x)
+        it = make_asd_pocs_iteration(sysd, w, 10)
+        order = jnp.arange(na, dtype=jnp.int32)
+        iter_ms = _slope(
+            lambda v: it(v, b, 0.25, 0.1, order, False, 0.2)[0], x
+        )
+        for name, ms in (("sart_sweep", sweep_ms),
+                         ("asd_pocs_iter", iter_ms)):
+            out[name] = {
+                "metric": f"{name}_voxel_iters_per_s_{ns}x{n}x{n}_{na}ang",
+                "value": round(ns * n * n / (ms / 1e3), 1),
+                "unit": "voxel-iters/s",
+                "ms": round(ms, 2),
+            }
+    except Exception as e:  # pragma: no cover - hardware dependent
+        out["asd_error"] = f"{type(e).__name__}: {e}"
+
+    try:
+        from tomojax.fusion import make_fusion_system, data_fusion_step
+        from tomojax.fusion.multimodal import tv_fgp_4d
+
+        nel, fns, fna, fnac = 3, 128, 90, 45
+        fsys = make_fusion_system(
+            n, np.deg2rad(np.linspace(-76, 76, fna)),
+            np.deg2rad(np.linspace(-76, 76, fnac)),
+            np.ones(nel, np.float32), 1.6,
+        )
+        rng = np.random.default_rng(0)
+        xf = jnp.asarray(rng.random((nel, fns, n, n)).astype(np.float32))
+        bh = jnp.asarray(rng.random((fns, fna, n)).astype(np.float32))
+        bc = jnp.asarray(
+            rng.random((nel, fns, fnac, n)).astype(np.float32)
+        )
+
+        def outer(v):
+            v, _, _ = data_fusion_step(v, bh, bc, fsys, 10.0, 0.05, 5)
+            v, _ = tv_fgp_4d(v, 5, 1e-4)
+            return v
+
+        ms = _slope(outer, xf, iters=4)
+        out["fusion_outer"] = {
+            "metric":
+                f"fusion_outer_iter_voxel_iters_per_s_{nel}el_{fns}x{n}x{n}",
+            "value": round(nel * fns * n * n / (ms / 1e3), 1),
+            "unit": "voxel-iters/s",
+            "ms": round(ms, 2),
+        }
+    except Exception as e:  # pragma: no cover - hardware dependent
+        out["fusion_error"] = f"{type(e).__name__}: {e}"
+
+    try:
+        out["golden_trace_ok"] = _golden_trace_ok()
+    except Exception as e:  # pragma: no cover - hardware dependent
+        out["golden_trace_ok"] = False
+        out["golden_trace_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def _golden_trace_ok() -> bool:
+    """Replay the production-config golden trace on the chip; True iff
+    dd/tv/rmse match the committed trace within the test tolerances."""
+    import sys as _sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "tests", "golden",
+                           "fista_tpu_256.json")) as f:
+        golden = json.load(f)
+    _sys.path.insert(0, os.path.join(here, "scripts"))
+    import record_golden_tpu as rec
+
+    geom, sysd, vol, b_sl = rec.build_problem()
+    m, rmse = rec.run_production(sysd, vol, b_sl)
+    ok = (
+        np.allclose(m[:, 1], golden["dd"], rtol=5e-3)
+        and np.allclose(m[:, 2], golden["tv"], rtol=5e-3)
+        and abs(rmse - golden["rmse_final"]) < 1e-3
+    )
+    return bool(ok)
+
+
 def main(markdown: bool = False):
     import jax
     import jax.numpy as jnp
@@ -96,6 +209,10 @@ def main(markdown: bool = False):
     prev = _prev_round_value(metric)
     if prev:
         rec["vs_prev_round"] = round(voxel_iters_per_s / prev, 3)
+    # Round-4 VERDICT #4: the one driver-tracked line carries ALL
+    # flagships + the production numerics gate, not just the headline.
+    if jax.default_backend() != "cpu":
+        rec["flagships"] = _flagship_rows()
     print(json.dumps(rec))
     if markdown:
         # README/ARCHITECTURE perf snippet — regenerate instead of
