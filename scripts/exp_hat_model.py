@@ -248,6 +248,132 @@ def make_bp(geom, ns, variant, rb=32):
     return bp
 
 
+# ------------------------------------------------- BP (banded) ------
+# Round-5 (VERDICT #3): above the 256 class the production BP dispatch
+# is the BANDED kernel (window ratio 0.28 at 512, smaller at 1024 —
+# the dense (rb, n, nray) W cannot even be built at 1024: 134 MB/tile),
+# so the 512/1024 speed-of-light decomposition needs ablations of the
+# banded kernel, mirroring projector/pallas_joseph.py::_bp_banded_kernel.
+
+
+def _bp_banded_kernel_v(n, nray, jw, nct, rb, variant, j0_ref, cos_ref,
+                        sin_ref, invd_ref, y_ref, out_ref):
+    from tomojax.projector.pallas_joseph import _BAND_CT as ct
+
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _, _, s_blk = out_ref.shape
+    r = pl.program_id(0)
+    ck = cos_ref[0, k]
+    sk = sin_ref[0, k]
+    invd = invd_ref[0, k]
+    rows = (r * rb + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)).astype(jnp.float32)
+    yr = (n - 1) / 2.0 - rows
+    off = (nray - 1) / 2.0
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1).astype(jnp.float32)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, jw), 2).astype(jnp.float32)
+
+    def tile(t, _):
+        j0 = pl.multiple_of(j0_ref[0, k, t], 8)
+        tc = (t * ct).astype(jnp.float32)
+        xc = iota_c + tc - (n - 1) / 2.0
+        jstar = ck * xc + (sk * yr + off)
+        jj = iota_j + j0.astype(jnp.float32)
+        if variant == "nohat":
+            w = jnp.broadcast_to(invd * 0.5, (rb, ct, jw))
+        else:
+            w = (
+                jnp.maximum(
+                    0.0, 1.0 - jnp.abs(jj - jstar[:, :, None]) * invd
+                )
+                * invd
+            )
+        idx = (slice(None), pl.ds(t * ct, ct), slice(None))
+        if variant == "nodot":
+            out_ref[idx] += jnp.broadcast_to(
+                jnp.sum(w, axis=2, keepdims=True), (rb, ct, s_blk)
+            )
+        else:
+            y_sub = y_ref[0, pl.ds(j0, jw), :]
+            contrib = _dot(w.reshape(rb * ct, jw), y_sub)
+            out_ref[idx] += contrib.reshape(rb, ct, s_blk)
+        return 0
+
+    jax.lax.fori_loop(0, nct, tile, 0)
+
+
+def make_bp_banded(geom, ns, variant, rb=32):
+    from tomojax.projector.pallas_joseph import _band_windows_bp
+
+    n, nray, na = geom.n, geom.nray, geom.nproj
+    s_blk = _slice_block(ns)
+    ns_pad = _round_up(ns, s_blk)
+    cos, sin, invd = _angle_tables(geom, na)
+    cos, sin, invd = (t.reshape(1, na) for t in (cos, sin, invd))
+    n_pad = _round_up(n, rb)
+    j0, jw, nct = _band_windows_bp(geom, rb, n_pad, n)
+    j0_spec = pl.BlockSpec((1, na, nct), lambda r, s, k: (r, 0, 0),
+                           memory_space=pltpu.SMEM)
+    ang_spec = pl.BlockSpec((1, na), lambda r, s, k: (0, 0),
+                            memory_space=pltpu.SMEM)
+    sino_spec = pl.BlockSpec((1, nray, s_blk), lambda r, s, k: (k, 0, s))
+    out_spec = pl.BlockSpec((rb, n, s_blk), lambda r, s, k: (r, 0, s))
+    out_shape = jax.ShapeDtypeStruct((n_pad, n, ns_pad), jnp.float32)
+    grid = (n_pad // rb, ns_pad // s_blk, na)
+
+    def bp(yt):
+        yt = _pad_axis(yt, 2, ns_pad)
+        out = pl.pallas_call(
+            partial(_bp_banded_kernel_v, n, nray, jw, nct, rb, variant),
+            grid=grid,
+            in_specs=[j0_spec, ang_spec, ang_spec, ang_spec, sino_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=_compiler_params(),
+        )(j0, cos, sin, invd, yt)
+        return out[:n, :, :ns]
+
+    return bp, jw, nct
+
+
+def production_rows(geom, ns):
+    """Production-dispatch FP/BP (whatever kernel form the shape
+    engages) + Pallas FGP per-iteration — the components of the full
+    FISTA iteration bound at this shape."""
+    from tomojax.projector.pallas_joseph import bp_pallas_sl, fp_pallas_sl
+    from tomojax.tv.pallas_fgp import tv_fgp_pallas_fused
+
+    n, nray, na = geom.n, geom.nray, geom.nproj
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((n, n, ns), np.float32))
+    x2 = jnp.asarray(rng.random((n, n, ns), np.float32))
+    y = jnp.asarray(rng.random((na, nray, ns), np.float32))
+    y2 = jnp.asarray(rng.random((na, nray, ns), np.float32))
+    rows = {}
+    rows["fp_prod"] = slope_time(lambda v: fp_pallas_sl(v, geom), x, x2)
+    rows["bp_prod"] = slope_time(
+        lambda v: bp_pallas_sl(v, geom), y, y2, iters=4
+    )
+    # FGP prox: per-iteration cost from the 1- vs 11-iteration chain of
+    # the fused kernel (HBM-bound; the shape's volume bytes set it)
+    f1 = jax.jit(lambda v: tv_fgp_pallas_fused(v, 1, 0.1)[0])
+    f11 = jax.jit(lambda v: tv_fgp_pallas_fused(v, 11, 0.1)[0])
+    jax.block_until_ready(f1(x)); jax.block_until_ready(f11(x))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter(); jax.block_until_ready(f1(x2))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); jax.block_until_ready(f11(x2))
+        tk = time.perf_counter() - t0
+        best = min(best, (tk - t1) / 10 * 1e3)
+    rows["fgp_iter"] = best
+    return rows
+
+
 def slope_time(op, x, x2, iters=8):
     def chain(v, k):
         for _ in range(k):
@@ -280,9 +406,13 @@ def main():
     y2 = jnp.asarray(rng.random((na, geom.nray, ns), np.float32))
     print(f"device: {jax.devices()[0].device_kind}  {n}^2x{ns}, {na} angles")
 
+    fp_variants = (
+        ("full", "nohat", "nodot", "hat5", "hatbf16")
+        if n <= 256 else ("full", "nohat", "nodot")
+    )
     results = {}
     ref = None
-    for variant in ("full", "nohat", "nodot", "hat5", "hatbf16"):
+    for variant in fp_variants:
         fp, jw, nct = make_fp(geom, ns, variant)
         ms = slope_time(fp, x, x2)
         out = fp(x2)
@@ -291,12 +421,26 @@ def main():
         err = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
         results[f"fp_{variant}"] = ms
         print(f"FP banded jw={jw} {variant:8s}: {ms:7.2f} ms  "
-              f"rel|d|={err:.2e}")
+              f"rel|d|={err:.2e}", flush=True)
 
+    # BP ablations on the kernel form the PRODUCTION dispatch engages at
+    # this shape: dense at 256 (band payoff threshold not met), banded
+    # at 512/1024 (the dense (rb, n, nray) W tile cannot exist at 1024).
+    from tomojax.projector.pallas_joseph import (
+        _band_enabled, _band_windows_bp,
+    )
+
+    _, bjw, bnct = _band_windows_bp(geom, 32, _round_up(n, 32), n)
+    bp_banded = _band_enabled(bjw, bnct, geom.nray, "bp")
     refb = None
-    for variant in ("full", "nohat", "nodot", "hatbf16"):
-        bp = make_bp(geom, ns, variant)
-        ms = slope_time(bp, y, y2)
+    for variant in ("full", "nohat", "nodot"):
+        if bp_banded:
+            bp, jw, _ = make_bp_banded(geom, ns, variant)
+            tag = f"BP banded jw={jw}"
+        else:
+            bp = make_bp(geom, ns, variant)
+            tag = "BP dense rb=32"
+        ms = slope_time(bp, y, y2, iters=4)
         out = bp(y2)
         if variant == "full":
             refb = out
@@ -304,14 +448,31 @@ def main():
             jnp.max(jnp.abs(refb))
         )
         results[f"bp_{variant}"] = ms
-        print(f"BP dense rb=32 {variant:8s}: {ms:7.2f} ms  rel|d|={err:.2e}")
+        print(f"{tag} {variant:8s}: {ms:7.2f} ms  rel|d|={err:.2e}",
+              flush=True)
+    if not bp_banded:
+        for variant in ("hatbf16",):
+            bp = make_bp(geom, ns, variant)
+            ms = slope_time(bp, y, y2, iters=4)
+            results[f"bp_{variant}"] = ms
+            print(f"BP dense rb=32 {variant:8s}: {ms:7.2f} ms", flush=True)
+
+    prod = production_rows(geom, ns)
+    results.update(prod)
+    print(f"production dispatch: FP {prod['fp_prod']:.2f} ms  "
+          f"BP {prod['bp_prod']:.2f} ms  FGP/iter {prod['fgp_iter']:.3f} ms",
+          flush=True)
+    import json as _json
+    print("JSON", _json.dumps({k: round(v, 3) for k, v in results.items()}),
+          flush=True)
 
     # ----- op-count model -----
     _, jw, nct = make_fp(geom, ns, "full")
     na_pad = _round_up(na, 16)
     fp_elems = (na_pad // 16) * ns * n // _slice_block(ns) * 16 * jw * _BAND_CT * nct / _slice_block(ns) * _slice_block(ns)
     fp_elems = (na_pad // 16) * (ns // _slice_block(ns)) * n * 16 * jw * _BAND_CT * nct
-    bp_elems = _round_up(n, 32) // 32 * (ns // _slice_block(ns)) * na * 32 * n * geom.nray
+    bp_w_cols = bjw if bp_banded else geom.nray  # banded thins W to jw
+    bp_elems = _round_up(n, 32) // 32 * (ns // _slice_block(ns)) * na * 32 * n * bp_w_cols
     for name, elems, ops in (
         ("fp", fp_elems, 6), ("bp", bp_elems, 6)
     ):
