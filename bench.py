@@ -74,11 +74,21 @@ def _flagship_rows():
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.random((ns, n, n)).astype(np.float32))
         b = jnp.asarray(rng.random((ns, na, n)).astype(np.float32))
-        sweep_ms = _slope(lambda v: sart_sweep(v, b, sysd, w, 0.8), x)
+        from tomojax.solvers.pallas_sart import sart_w_operand
+
+        w_op = sart_w_operand(geom, ns)
+        ops_w = (w_op,) if w_op is not None else ()
+        sweep_ms = _slope(
+            lambda v, *e: sart_sweep(v, b, sysd, w, 0.8,
+                                     w_hbm=e[0] if e else None),
+            x, extra=ops_w,
+        )
         it = make_asd_pocs_iteration(sysd, w, 10)
         order = jnp.arange(na, dtype=jnp.int32)
         iter_ms = _slope(
-            lambda v: it(v, b, 0.25, 0.1, order, False, 0.2)[0], x
+            lambda v, *e: it(v, b, 0.25, 0.1, order, False, 0.2,
+                             e[0] if e else None)[0],
+            x, extra=ops_w,
         )
         for name, ms in (("sart_sweep", sweep_ms),
                          ("asd_pocs_iter", iter_ms)):
@@ -227,24 +237,29 @@ def main(markdown: bool = False):
         )
 
 
-def _slope(f, x, iters=6, reps=3):
+def _slope(f, x, iters=6, reps=3, extra=()):
     """Per-call ms by slope timing (the remote backend caches identical
-    (executable, input) pairs; chaining v = f(v) keeps inputs fresh)."""
+    (executable, input) pairs; chaining v = f(v) keeps inputs fresh).
+    `extra` operands ride as jit ARGUMENTS (a multi-GB operand captured
+    in the closure would be baked into the compile request — the remote
+    compile service rejects it)."""
     import jax
     import jax.numpy as jnp
 
-    def chain(v, k):
+    def chain(v, k, *e):
         for _ in range(k):
-            v = f(v)
+            v = f(v, *e)
         return jnp.sum(v)
 
-    c1 = jax.jit(lambda v: chain(v, 1))
-    ck = jax.jit(lambda v: chain(v, 1 + iters))
-    float(c1(x)), float(ck(x))
+    c1 = jax.jit(lambda v, *e: chain(v, 1, *e))
+    ck = jax.jit(lambda v, *e: chain(v, 1 + iters, *e))
+    float(c1(x, *extra)), float(ck(x, *extra))
     best = float("inf")
     for _ in range(reps):
-        t0 = time.perf_counter(); float(c1(x)); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(ck(x)); tk = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(c1(x, *extra))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(ck(x, *extra))
+        tk = time.perf_counter() - t0
         best = min(best, (tk - t1) / iters * 1e3)
     return best
 
@@ -268,11 +283,21 @@ def asd(ns=256, n=256, na=90):
     x = jnp.asarray(rng.random((ns, n, n)).astype(np.float32))
     b = jnp.asarray(rng.random((ns, na, n)).astype(np.float32))
 
-    sweep_ms = _slope(lambda v: sart_sweep(v, b, sysd, w, 0.8), x)
+    from tomojax.solvers.pallas_sart import sart_w_operand
+
+    w_op = sart_w_operand(geom, ns)
+    ops_w = (w_op,) if w_op is not None else ()
+    sweep_ms = _slope(
+        lambda v, *e: sart_sweep(v, b, sysd, w, 0.8,
+                                 w_hbm=e[0] if e else None),
+        x, extra=ops_w,
+    )
     it = make_asd_pocs_iteration(sysd, w, 10)
     order = jnp.arange(na, dtype=jnp.int32)
     iter_ms = _slope(
-        lambda v: it(v, b, 0.25, 0.1, order, False, 0.2)[0], x
+        lambda v, *e: it(v, b, 0.25, 0.1, order, False, 0.2,
+                         e[0] if e else None)[0],
+        x, extra=ops_w,
     )
     rows = []
     for name, ms in (("sart_sweep", sweep_ms), ("asd_pocs_iter", iter_ms)):

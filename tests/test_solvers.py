@@ -481,6 +481,55 @@ def test_pallas_sart_matches_xla_sweep():
     )
 
 
+def test_resident_sart_converges_like_xla_sweep():
+    """Round-5 whole-volume-resident SART (solvers/pallas_sart.py
+    design note): engages when fits_resident holds (needs nray % 128
+    == 0, so n=128 here — the smaller tests above pin the windowed
+    kernel). Its dots run on bf16 operands, so single-sweep max-|d| on
+    arbitrary data is chaotic by construction (90 sequential clamped
+    updates); the correctness contract is CONVERGENCE: the same
+    reconstruction as the XLA sweep on a consistent problem. Both W
+    sources (per-geometry HBM tensor + in-kernel build) are pinned."""
+    from tomojax import config as tjconfig
+    from tomojax.solvers import make_sart_weights
+    from tomojax.solvers.iterative import sart_sweep
+    from tomojax.solvers.pallas_sart import (
+        fits_resident, sart_sweep_pallas,
+    )
+
+    ns, n, na = 8, 128, 8
+    assert fits_resident(n, ns, n)
+    geom = Geometry.make(n, np.deg2rad(np.linspace(-70, 70, na)))
+    sysd = make_system(geom)
+    w = make_sart_weights(sysd)
+    ph = jnp.asarray(np.stack([shepp_logan(n)] * ns))
+    b = fp(ph, geom)
+    order = jnp.asarray(
+        np.random.default_rng(3).permutation(na).astype(np.int32)
+    )
+
+    def run(sweep_fn, nswp=5):
+        x = jnp.zeros((ns, n, n), jnp.float32)
+        for _ in range(nswp):
+            x = sweep_fn(x)
+        return float(jnp.sqrt(jnp.mean((x - ph) ** 2)))
+
+    ref = run(lambda x: sart_sweep(x, b, sysd, w, beta=0.7, order=order))
+    for mode in ("auto", "off"):
+        prev = tjconfig.sart_w_hbm
+        try:
+            tjconfig.set_sart_w_hbm(mode)
+            got = run(
+                lambda x: sart_sweep_pallas(
+                    x, b, geom, sysd.inv_row[0], w, beta=0.7,
+                    order=order, interpret=True,
+                )
+            )
+        finally:
+            tjconfig.sart_w_hbm = prev
+        assert got == pytest.approx(ref, abs=2e-3), (mode, got, ref)
+
+
 def test_fista_momentum_toggle_keeps_invariants(tilt_problem):
     """Toggling momentum across calls on the same state must keep the
     carried projections valid: ay == A yk and ax == A x_old at every

@@ -225,8 +225,15 @@ class TomoTPU:
         self.restart_recon()
         if self._sart_w is None:
             self._sart_w = make_sart_weights(self.sys)
+        # the precomputed W tensor (resident 'hbm' sweep) rides as a jit
+        # ARGUMENT — see solvers.asd_pocs.make_asd_pocs_iteration's note
+        from tomojax.solvers.pallas_sart import sart_w_operand
+
+        w_op = sart_w_operand(self.geom, self.x.shape[0])
         step = jax.jit(
-            lambda x, b, order: sart_sweep(x, b, self.sys, self._sart_w, beta, order)
+            lambda x, b, order, w: sart_sweep(
+                x, b, self.sys, self._sart_w, beta, order, w_hbm=w
+            )
         )
         seq = jnp.arange(self.geom.nproj, dtype=jnp.int32)
         self.cost = np.zeros(Niter, np.float32)
@@ -236,7 +243,7 @@ class TomoTPU:
             if init == "random":
                 self._order_key, sub = jax.random.split(self._order_key)
                 order = jax.random.permutation(sub, self.geom.nproj).astype(jnp.int32)
-            self.x = step(self.x, self.b, order)
+            self.x = step(self.x, self.b, order, w_op)
             if show_convergence:
                 self.cost[i] = float(ddj(self.x, self.b))
         self.recon = None

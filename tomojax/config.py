@@ -98,6 +98,23 @@ def set_mesh(mesh) -> None:
     active_mesh = mesh
 
 
+# sart_w_hbm: W source for the whole-volume-resident Pallas SART sweep
+# (solvers/pallas_sart.py round-5 design note). 'auto' precomputes the
+# per-geometry interpolation tiles into an HBM bf16 tensor (~2.9 GB at
+# 256^3 x 90, cached per geometry, capped by
+# pallas_sart.SART_W_HBM_BUDGET) and streams them by DMA — measured
+# 7.73 ms/sweep vs 10.49 for the in-kernel build and 22.2 for the
+# round-4 windowed kernel on v5e. 'off' forces the in-kernel build
+# (no HBM cost; e.g. when HBM is tight on a shared chip).
+sart_w_hbm: str = "auto"
+
+
+def set_sart_w_hbm(mode: str) -> None:
+    global sart_w_hbm
+    assert mode in ("auto", "off"), mode
+    sart_w_hbm = mode
+
+
 # banded_projector: tile-band skipping in the Pallas projector kernels
 # (projector/pallas_joseph.py "Banded tiling"). 'auto' enables it when
 # the window math says the banded FLOPs are <= 3/4 of the dense kernel's

@@ -146,7 +146,8 @@ def make_sart_weights(sys: System):
     return inv_col_a
 
 
-def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
+def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None,
+               w_hbm=None):
     """One ordered pass over all angle blocks (== ASTRA SART `run(Nproj)`).
 
     order: (Na,) int32 angle visiting order (sequential = arange; random =
@@ -176,14 +177,17 @@ def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
         and tjconfig.resolve_projector_mode(None) == "pallas"
     ):
         from tomojax.solvers.pallas_sart import (
-            fits_vmem, sart_sweep_pallas, sart_sweep_pallas_sharded,
+            fits_resident, fits_vmem, sart_sweep_pallas,
+            sart_sweep_pallas_sharded,
         )
 
         mesh = tjconfig.active_mesh
-        # fits_vmem: the kernel's resident volume window cannot shrink
-        # below a 128-wide lane block, so n >= 512 can never compile —
-        # those shapes keep the XLA sweep.
-        if fits_vmem(sys.geom.n, x.shape[0]):
+        # fits_vmem/fits_resident: the kernels' VMEM-resident volume
+        # cannot shrink below a 128-wide lane block, so n >= 512 can
+        # never compile — those shapes keep the XLA sweep.
+        if fits_vmem(sys.geom.n, x.shape[0]) or fits_resident(
+            sys.geom.n, x.shape[0], sys.geom.nray
+        ):
             # Gate aligned with the SIRT/Poisson fast paths (round-4
             # advisor): the unsharded single-device kernel only when the
             # backend truly has one device (a multi-device backend with
@@ -198,7 +202,8 @@ def sart_sweep(x, b, sys: System, inv_col_a, beta=1.0, order=None):
                     )
             elif jax.device_count() == 1:
                 return sart_sweep_pallas(
-                    x, b, sys.geom, sys.inv_row[0], inv_col_a, beta, order
+                    x, b, sys.geom, sys.inv_row[0], inv_col_a, beta,
+                    order, w_hbm=w_hbm,
                 )
         # too large for VMEM residency / indivisible slab: XLA path below
     geom = sys.geom

@@ -29,17 +29,25 @@ Ordered/random visiting order is handled by pre-permuting the per-angle
 operands (b, R_a, C_a, angle tables) outside the kernel — O(Na) cheap
 gathers; the kernel always walks its operands 0..Na-1.
 
-Measured (v5e, 256^3 x 90, min-of-3 slope): 22.2 ms/sweep vs 27.6 for
-the XLA sweep (1.24x). The HBM win is complete (time is linear in Na —
-7.7 ms at 30 angles — so the volume traffic is gone); the kernel is now
-COMPUTE-bound, and unlike the grid-pipelined FP/BP kernels the hat
-build sits exposed on the in-kernel fori critical path (ablation,
-scripts/exp_sart_ablate.py: hat 13.4 ms of 22.3 vs a 4.6 ms VPU-peak
-model; dot+streams 9.0). Measured-out levers: 5-op fma/min hat with
-deferred 1/D (neutral, kept for simplicity), manual loop rotation
-carrying W across iterations (1.35x SLOWER — doubled live W), and a
-grid-phase restructure (chunk loop as a third grid axis) whose compile
-is pathological on this toolchain. See docs/ARCHITECTURE.md.
+Measured (v5e, 256^3 x 90, min-of-3 slope): 22.2 ms/sweep for this
+windowed kernel vs 27.6 for the XLA sweep (1.24x). The HBM win is
+complete (time is linear in Na), but the hat build sits exposed on the
+in-kernel fori critical path (ablation, scripts/exp_sart_ablate.py:
+hat 13.4 ms of 22.3 vs a 4.6 ms VPU-peak model). Measured-out levers:
+5-op fma/min hat with deferred 1/D (neutral), manual loop rotation
+carrying W across iterations (1.35x SLOWER), a grid-phase restructure
+(compile pathological on this toolchain), and — round 5 — an explicit
+double-buffered W scratch with pair-unrolled phase logic (21.7 ms,
+Mosaic still serializes VPU and MXU inside the fori body).
+
+Round 5 closed the gap with the WHOLE-VOLUME-RESIDENT kernel further
+down (design note mid-module): grid (na,), the full volume in one
+manual VMEM scratch, W precomputed per geometry in HBM and DMA-
+streamed — **7.73 ms/sweep** (2.9x; 10.49 with the in-kernel W build,
+tomojax.config.sart_w_hbm='off') at identical convergence. It
+dispatches whenever `fits_resident` holds (the whole 256 class); the
+windowed kernel below remains the fallback for volumes whose slices
+exceed VMEM (e.g. n=256, ns>=384).
 
 Dispatched from solvers.iterative.sart_sweep on single-device TPU
 ('pallas' resolved mode); interpret-mode on CPU is test-only.
@@ -47,6 +55,7 @@ Dispatched from solvers.iterative.sart_sweep on single-device TPU
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -163,6 +172,287 @@ def _sart_kernel(n, nt, ch, prec, cos_ref, sin_ref, invd_ref, beta_ref,
     jax.lax.fori_loop(0, nch, upd_body, 0)
 
 
+# ------------------------------------------------------------------------
+# Whole-volume-resident sweep (round 5, VERDICT #1). At the 256 class
+# the ENTIRE slice-last volume (n^2 * ns_pad * 4 = 64 MB at 256^3) fits
+# VMEM as ONE manually-managed scratch, so the grid collapses to (na,):
+# no slice blocks, no double-buffered windowed out (2 x 32 MB saved),
+# and the interpolation tiles W are needed exactly ONCE per angle per
+# sweep instead of once per (angle, slice block). Two W sources:
+#
+#   * 'hbm' — W is precomputed per GEOMETRY into an (na, nch, ch*n, nt)
+#     bfloat16 HBM tensor (~2.9 GB at 256^3 x 90; cached like
+#     make_sart_weights) and streamed into a VMEM ring by explicit
+#     chunked make_async_copy DMA: all of an angle's chunk copies are
+#     issued at angle start, each FP dot waits only on its own chunk,
+#     and the update pass reuses the VMEM-resident angle. The sweep
+#     kernel contains NO hat arithmetic. Measured (v5e, 256^3 x 90,
+#     min-of-3 slope): 7.73 ms/sweep vs 22.2 for the windowed kernel
+#     (2.9x) — BELOW the round-4 ~9 ms "nohat floor" estimate, because
+#     residency also removes the floor's per-slice-block W
+#     re-materialization.
+#   * 'build' — W built in-kernel once per angle (FP pass), stored
+#     bf16, reused by the update pass: 10.49 ms/sweep, no HBM cost;
+#     used when the W tensor would exceed the HBM budget.
+#
+# Numerics: W and the dot operands are bfloat16 — identical class to
+# the production DEFAULT precision (the MXU truncates f32 operands to
+# bf16 passes); convergence measured IDENTICAL (rmse@10 on the
+# 256^3 x 90 nanocube problem: 0.04019 for both, |d| < 7e-7 vs the
+# f32-operand kernel). NOTE single-sweep max-|d| comparisons on random
+# inconsistent data are meaningless for SART: 90 sequential clamped
+# updates amplify bf16-vs-f32 rounding chaotically (measured rel ~1.0
+# even between the f32 kernel and the XLA sweep at HIGH) while real
+# reconstructions agree — scripts/exp_sart_pipeline.py.
+#
+# The residual is computed TRANSPOSED, (ns_pad, nt) with the ray axis
+# on lanes, so the (1, nt) inv_row lane vector broadcasts directly and
+# the per-chunk W*R fold of the windowed kernel disappears; the update
+# contracts dot_general(W, resid, (((1,), (1,)), ...)).
+# ------------------------------------------------------------------------
+
+SART_W_HBM_BUDGET = 4 << 30  # max bytes of precomputed W ('hbm' mode)
+
+
+def _sart_resident_kernel(n, nt, ch, ns_pad, hbm_w, order_ref, cos_ref,
+                          sin_ref, invd_ref, beta_ref, x_ref, *rest):
+    if hbm_w:
+        (w_hbm_ref, b_ref, invrow_ref, invc_ref, out_ref,
+         vol_ref, w_ref, sem, osem, wsem) = rest
+    else:
+        (b_ref, invrow_ref, invc_ref, out_ref,
+         vol_ref, w_ref, sem, osem) = rest
+    beta = beta_ref[0, 0]
+    k = pl.program_id(0)
+    na = pl.num_programs(0)
+    nch = n // ch
+
+    @pl.when(k == 0)
+    def _():
+        cp = pltpu.make_async_copy(x_ref, vol_ref, sem)
+        cp.start()
+        cp.wait()
+
+    if hbm_w:
+        # The angle VISITING order indexes the HBM W tensor in-kernel
+        # (order_ref, SMEM): permuting the 2.9 GB tensor outside would
+        # cost a full-tensor gather per call, which random-order
+        # ASD-POCS would pay every iteration. The small per-angle
+        # operands (b, tables, weights) are pre-permuted outside.
+        ka = order_ref[0, k]
+
+        def st(i, _):
+            pltpu.make_async_copy(
+                w_hbm_ref.at[ka, i], w_ref.at[i], wsem.at[i]
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, nch, st, 0, unroll=True)
+
+    invd = invd_ref[0, k]
+    off = (nt - 1) / 2.0
+    ctr = (n - 1) / 2.0
+    if not hbm_w:
+        ck = cos_ref[0, k]
+        sk = sin_ref[0, k]
+        xc = jax.lax.broadcasted_iota(
+            jnp.int32, (1, n), 1).astype(jnp.float32) - ctr
+        iota_r = jax.lax.broadcasted_iota(
+            jnp.int32, (ch, 1), 0).astype(jnp.float32)
+        iota_j = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, nt), 2).astype(jnp.float32)
+
+        def wchunk(i):
+            yr = ctr - (i * ch + iota_r)
+            jstar = ck * xc + (sk * yr + off)
+            u = (iota_j - jstar[:, :, None]) * invd
+            w = jnp.maximum(0.0, jnp.minimum(1.0 - u, 1.0 + u))
+            return w.reshape(ch * n, nt)
+
+    def fp_body(i, acc):
+        if hbm_w:
+            pltpu.make_async_copy(
+                w_hbm_ref.at[ka, i], w_ref.at[i], wsem.at[i]
+            ).wait()
+        else:
+            w_ref[i] = wchunk(i).astype(jnp.bfloat16)
+        xb = vol_ref[pl.ds(i * ch, ch), :, :].reshape(ch * n, ns_pad)
+        return acc + jax.lax.dot_general(
+            xb.astype(jnp.bfloat16), w_ref[i], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
+        )  # (ns_pad, nt): ray axis on lanes
+
+    proj = jax.lax.fori_loop(
+        0, nch, fp_body, jnp.zeros((ns_pad, nt), jnp.float32)
+    )
+    resid = (b_ref[0] - invd * proj) * invrow_ref[0]
+
+    def upd_body(i, _):
+        upd = jax.lax.dot_general(
+            w_ref[i], resid.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
+        ).reshape(ch, n, ns_pad)
+        idx = (pl.ds(i * ch, ch), slice(None), slice(None))
+        invc = invc_ref[0, pl.ds(i * ch, ch), :]
+        vol_ref[idx] = jnp.maximum(
+            vol_ref[idx] + (beta * invd) * invc[:, :, None] * upd, 0.0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nch, upd_body, 0)
+
+    @pl.when(k == na - 1)
+    def _():
+        cp = pltpu.make_async_copy(vol_ref, out_ref, osem)
+        cp.start()
+        cp.wait()
+
+
+def fits_resident(n: int, ns: int, nt: int) -> bool:
+    """Resident-sweep VMEM gate: full volume (f32) + whole-angle bf16 W
+    (n^2 x nt tiles) must fit ~100 MB of the v5e's 128 MB VMEM (the
+    kernel raises the scoped limit to 118). nt must be a multiple of
+    128: a sub-128-lane bf16 scratch DMA crashes the Mosaic backend
+    (minimal repro, round 5); interpret mode (CPU tests) has no such
+    limit but keeps the same gate for dispatch parity."""
+    ns_pad = _round_up(ns, 128)
+    vol = n * n * ns_pad * 4
+    w = n * n * nt * 2
+    return nt % 128 == 0 and vol + w <= 100 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=2)
+def _w_hbm_cached(geom: Geometry, ch: int):
+    """Per-geometry precomputed W tiles, (na, nch, ch*n, nt) bf16 — the
+    'hbm' resident mode's operand, built once per geometry by a plain
+    XLA program and cached (same lifecycle as make_sart_weights).
+    ~2.9 GB at 256^3 x 90 (gated by SART_W_HBM_BUDGET)."""
+    n, nt, na = geom.n, geom.nray, geom.nproj
+    nch = n // ch
+    cos, sin, invd = _angle_tables(geom, na)
+    off = (nt - 1) / 2.0
+    ctr = (n - 1) / 2.0
+    xc = jnp.arange(n, dtype=jnp.float32) - ctr
+    yr = ctr - jnp.arange(n, dtype=jnp.float32)
+
+    def one_angle(args):
+        c, s, idv = args
+        jstar = c * xc[None, :] + s * yr[:, None] + off
+        u = (jnp.arange(nt, dtype=jnp.float32)[None, None, :]
+             - jstar[:, :, None]) * idv
+        w = jnp.maximum(0.0, jnp.minimum(1.0 - u, 1.0 + u))
+        return w.reshape(nch, ch * n, nt).astype(jnp.bfloat16)
+
+    return jax.block_until_ready(jax.lax.map(one_angle, (cos, sin, invd)))
+
+
+def _resident_chunk(n: int, nt: int) -> int:
+    ch = _sart_chunk(n, nt, 128, 32)
+    while n % ch:
+        ch //= 2
+    return ch
+
+
+def sart_w_operand(geom: Geometry, ns: int):
+    """The precomputed HBM W tensor for (geom, ns) — or None when the
+    resident 'hbm' mode would not engage. Jit-building drivers (ASD-POCS
+    iterations, bench chains) call this EAGERLY and pass the result as
+    an ARGUMENT of their jitted step: a W captured as a closure constant
+    is baked into the lowering (3 GB) and the remote compile service
+    rejects the request (HTTP 413, measured round 5); a W built inside
+    the trace is worse — it leaks the cached tracer. Inside a trace
+    with no operand the kernel falls back to the in-kernel build
+    (10.49 vs 7.73 ms — still 2.1x the windowed kernel)."""
+    n, nt, na = geom.n, geom.nray, geom.nproj
+    if (
+        tjconfig.sart_w_hbm == "off"
+        or not fits_resident(n, ns, nt)
+        or na * n * n * nt * 2 > SART_W_HBM_BUDGET
+        or tjconfig.resolve_projector_mode(None) != "pallas"
+    ):
+        return None
+    return _w_hbm_cached(geom, _resident_chunk(n, nt))
+
+
+def _sart_resident_call(x_sl, b_sl, geom: Geometry, inv_row2d, inv_col_a,
+                        beta, order, interpret: bool, w_hbm=None):
+    """Dispatch the resident sweep (see module-top design note)."""
+    n, _, ns = x_sl.shape
+    na, nt = geom.nproj, geom.nray
+    ch = _resident_chunk(n, nt)
+    nch = n // ch
+    ns_pad = _round_up(ns, 128)
+    w_bytes = na * n * n * nt * 2
+    if (
+        w_hbm is None
+        and not isinstance(x_sl, jax.core.Tracer)  # eager call: safe to
+        # build + cache the per-geometry W now (see sart_w_operand)
+        and tjconfig.sart_w_hbm != "off"
+        and w_bytes <= SART_W_HBM_BUDGET
+    ):
+        w_hbm = _w_hbm_cached(geom, ch)
+    hbm_w = w_hbm is not None
+    if hbm_w:
+        assert w_hbm.shape == (na, nch, ch * n, nt), (w_hbm.shape, ch)
+    cos, sin, invd = _angle_tables(geom, na)
+    cos, sin, invd = (t.reshape(1, na) for t in (cos, sin, invd))
+    if order is not None:
+        cos = jnp.take(cos, order, axis=1)
+        sin = jnp.take(sin, order, axis=1)
+        invd = jnp.take(invd, order, axis=1)
+        b_sl = jnp.take(b_sl, order, axis=0)
+        inv_row2d = jnp.take(inv_row2d, order, axis=0)
+        inv_col_a = jnp.take(inv_col_a, order, axis=0)
+        order_arr = jnp.asarray(order, jnp.int32).reshape(1, na)
+    else:
+        order_arr = jnp.arange(na, dtype=jnp.int32).reshape(1, na)
+
+    x_sl = _pad_axis(x_sl, 2, ns_pad)
+    b_t = jnp.transpose(_pad_axis(b_sl, 2, ns_pad), (0, 2, 1))
+
+    ang = pl.BlockSpec((1, na), lambda k: (0, 0), memory_space=pltpu.SMEM)
+    beta_spec = pl.BlockSpec((1, 1), lambda k: (0, 0),
+                             memory_space=pltpu.SMEM)
+    xs = pl.BlockSpec(memory_space=pl.ANY)
+    bs = pl.BlockSpec((1, ns_pad, nt), lambda k: (k, 0, 0))
+    irs = pl.BlockSpec((1, 1, nt), lambda k: (k, 0, 0))
+    ics = pl.BlockSpec((1, n, n), lambda k: (k, 0, 0))
+    out = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = [
+        pltpu.VMEM((n, n, ns_pad), jnp.float32),
+        pltpu.VMEM((nch, ch * n, nt), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    in_specs = [ang, ang, ang, ang, beta_spec, xs]
+    args = [order_arr, cos, sin, invd,
+            jnp.reshape(jnp.asarray(beta, jnp.float32), (1, 1)), x_sl]
+    if hbm_w:
+        scratch.append(pltpu.SemaphoreType.DMA((nch,)))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(w_hbm)
+    in_specs += [bs, irs, ics]
+    args += [b_t, inv_row2d.reshape(na, 1, nt), inv_col_a]
+    try:
+        cp = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=118 * 1024 * 1024,
+        )
+    except TypeError:
+        cp = None
+    res = pl.pallas_call(
+        partial(_sart_resident_kernel, n, nt, ch, ns_pad, hbm_w),
+        grid=(na,),
+        in_specs=in_specs,
+        out_specs=out,
+        out_shape=jax.ShapeDtypeStruct((n, n, ns_pad), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=cp,
+        interpret=interpret,
+    )(*args)
+    return res[:, :, :ns]
+
+
 def fits_vmem(n: int, ns: int) -> bool:
     """Whether the resident set fits the chip: the (n, n, s_blk) out
     window costs 2 (buffer levels) x n^2 x PADDED-lane x 4 bytes —
@@ -197,14 +487,24 @@ def _sart_chunk(n: int, nt: int, s_blk: int, ch: int) -> int:
 
 def sart_sweep_pallas_sl(x_sl, b_sl, geom: Geometry, inv_row2d, inv_col_a,
                          beta=1.0, order=None, precision=None, ch: int = 32,
-                         interpret: bool = False):
+                         interpret: bool = False, w_hbm=None):
     """One ordered SART pass, slice-last. x_sl: (n, n, ns); b_sl:
     (na, nt, ns); inv_row2d: (na, nt) = System.inv_row[0]; inv_col_a:
     (na, n, n) per-angle column weights (solvers.make_sart_weights).
-    Returns the updated (n, n, ns) volume."""
+    Returns the updated (n, n, ns) volume.
+
+    Dispatch: the whole-volume-resident kernel (2.9x, see the round-5
+    design note above) whenever the volume + per-angle W fit VMEM
+    (`fits_resident` — covers the whole 256 class); the round-4
+    slice-block-windowed kernel below otherwise."""
     n, _, ns = x_sl.shape
     na, nt = geom.nproj, geom.nray
     assert b_sl.shape[:2] == (na, nt), b_sl.shape
+    if fits_resident(n, ns, nt):
+        return _sart_resident_call(
+            x_sl, b_sl, geom, inv_row2d, inv_col_a, beta, order,
+            interpret=interpret, w_hbm=w_hbm,
+        )
     prec = _kernel_precision(
         precision if precision is not None else tjconfig.pallas_precision
     )
@@ -257,11 +557,13 @@ def sart_sweep_pallas_sl(x_sl, b_sl, geom: Geometry, inv_row2d, inv_col_a,
 
 
 def sart_sweep_pallas(x, b, geom: Geometry, inv_row2d, inv_col_a, beta=1.0,
-                      order=None, precision=None, interpret: bool = False):
+                      order=None, precision=None, interpret: bool = False,
+                      w_hbm=None):
     """Public-layout wrapper: x (Ns, N, N), b (Ns, Na, Nt)."""
     out = sart_sweep_pallas_sl(
         x.transpose(1, 2, 0), b.transpose(1, 2, 0), geom, inv_row2d,
         inv_col_a, beta, order, precision, interpret=interpret,
+        w_hbm=w_hbm,
     )
     return out.transpose(2, 0, 1)
 
