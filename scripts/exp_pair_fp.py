@@ -25,7 +25,16 @@ epilogue interleave of the two angle halves is NOT needed for FISTA
 (the residual/weights can live in paired order) but its cost is the
 same class (~sinogram-sized copy).
 
-Measured on v5e (this script): see docs/ARCHITECTURE.md round-5 notes.
+Measured on v5e (this script, 256^3 x 90, min-of-3 slope): REFUTED —
+paired 45-angle/s_blk=512 = 4.16 ms vs baseline 90-angle/s_blk=256 =
+3.99/3.78 ms (repeat spread), outputs exact to ~1e-6; the
+no-sharing control (45 angles, s_blk=256) = 4.61 ms. Halving the
+number of W tiles materialized while doubling each dot's width does
+NOT move the kernel: the pipeline floor is per-W-ELEMENT handling
+feeding the MXU (total W-elements x dot-columns is invariant under
+the pairing), not per-tile setup — consistent with exp_hat_model's
+finding that the hat ALU chain has ~zero marginal cost. Recorded in
+docs/ARCHITECTURE.md; the 256-class projector floor stands.
 """
 
 import sys
