@@ -497,8 +497,9 @@ def test_resident_sart_converges_like_xla_sweep():
         fits_resident, sart_sweep_pallas,
     )
 
-    ns, n, na = 8, 128, 8
+    ns, n, na = 64, 128, 8
     assert fits_resident(n, ns, n)
+    assert not fits_resident(n, 8, n)  # thin slabs keep the windowed kernel
     geom = Geometry.make(n, np.deg2rad(np.linspace(-70, 70, na)))
     sysd = make_system(geom)
     w = make_sart_weights(sysd)

@@ -251,6 +251,12 @@ def _band_windows_bp(geom: Geometry, rb: int, n_pad: int, n: int):
     j0 = (np.floor(lo).astype(np.int64) // 8) * 8
     need = int((np.ceil(hi) - j0 + 1).max())
     jw = min(-(-max(need, 8) // 8) * 8, _round_up(geom.nray, 8))
+    # Measured-out (round 5): rounding jw up to a 128-lane multiple
+    # (144->256 at 512/1024) is output-IDENTICAL and perf-neutral —
+    # one probe read 9.55 ms for the 512 BP (vs 13.5) but did not
+    # reproduce (13.35-13.9 across reruns, same config); the BP's
+    # exposed-hat headroom at 512/1024 (results/sol_512_1024.json) is
+    # not a window-alignment effect.
     j0 = np.clip(j0, 0, max(geom.nray - jw, 0)).astype(np.int32)
     return jnp.asarray(j0), jw, nct
 

@@ -314,11 +314,19 @@ def fits_resident(n: int, ns: int, nt: int) -> bool:
     kernel raises the scoped limit to 118). nt must be a multiple of
     128: a sub-128-lane bf16 scratch DMA crashes the Mosaic backend
     (minimal repro, round 5); interpret mode (CPU tests) has no such
-    limit but keeps the same gate for dispatch parity."""
+    limit but keeps the same gate for dispatch parity. The slice axis
+    (the kernel's lane dim) pads to 128 — slabs thinner than 64 slices
+    would waste >2x of every op on padding (e.g. a 2-slice shard_map
+    slab would pad 64x), so those keep the windowed kernel, whose
+    sub-128 full-extent lane blocks are legal."""
     ns_pad = _round_up(ns, 128)
     vol = n * n * ns_pad * 4
     w = n * n * nt * 2
-    return nt % 128 == 0 and vol + w <= 100 * 1024 * 1024
+    return (
+        nt % 128 == 0
+        and ns_pad <= 2 * ns
+        and vol + w <= 100 * 1024 * 1024
+    )
 
 
 @functools.lru_cache(maxsize=2)
