@@ -316,6 +316,8 @@ def make_bp_banded(geom, ns, variant, rb=32):
     cos, sin, invd = (t.reshape(1, na) for t in (cos, sin, invd))
     n_pad = _round_up(n, rb)
     j0, jw, nct = _band_windows_bp(geom, rb, n_pad, n)
+    j0 = jnp.transpose(j0, (1, 0, 2))  # (nrb, na, nct): SMEM blocks
+    # must span the trailing dims; index by angle in-kernel
     j0_spec = pl.BlockSpec((1, na, nct), lambda r, s, k: (r, 0, 0),
                            memory_space=pltpu.SMEM)
     ang_spec = pl.BlockSpec((1, na), lambda r, s, k: (0, 0),
