@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 
-def _tv_compiler_params(nx: int = 128):
+def _tv_compiler_params(nx: int = 128, plane_bytes: int = 0):
     """Scoped-VMEM cap for the TV kernels, keyed on the LANE dimension:
     planes whose trailing dim is below the 128-lane tile get padded to
     128 in VMEM, which pushed the fused FGP kernel to 19 MB of scoped
@@ -42,7 +42,16 @@ def _tv_compiler_params(nx: int = 128):
     Mosaic's 16 MB default. Only those layouts get the raised cap: a
     blanket raise measured a 13% HEADLINE REGRESSION at 256^3 (1018M vs
     1176M voxel-iters/s — the larger budget changes Mosaic's buffering
-    choices for kernels that fit fine under the default)."""
+    choices for kernels that fit fine under the default). Big planes
+    (the transposed 1024-class layout) need 96 MB: 48/64 MB crash the
+    Mosaic backend at (64, 1024, 1024) with pb=1 (round 5)."""
+    if plane_bytes >= _TRANSPOSE_PLANE_BYTES:
+        try:
+            return pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024
+            )
+        except TypeError:
+            return None
     if nx >= 128:
         return None  # default cap; measured-best for unpadded lanes
     try:
@@ -274,9 +283,17 @@ def _fused2_kernel(lam, multip, pb, nz,
     o3_ref[0] = (q3 * sc).astype(o3_ref.dtype)
 
 
-def _fused_plane_block(nz: int) -> int:
+_TRANSPOSE_PLANE_BYTES = 4 * 1024 * 1024  # 1024-class planes
+
+
+def _fused_plane_block(nz: int, plane_bytes: int = 256 * 256 * 4) -> int:
     # 4 planes/block fits the 16 MB scoped-VMEM budget at 256^2 planes
-    # (8 planes exceeds it: 16.5M > 16M on v5e).
+    # (8 planes exceeds it: 16.5M > 16M on v5e). Big planes (the
+    # transposed 1024-class layout, 4 MB each) take pb=1 with the 96 MB
+    # cap from _tv_compiler_params — pb=2 at that size crashes the
+    # Mosaic backend (round 5).
+    if plane_bytes >= _TRANSPOSE_PLANE_BYTES:
+        return 1
     for pb in (4, 2):
         if nz % pb == 0 and nz > pb:
             return pb
@@ -324,10 +341,38 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # Lane-padded big-plane layouts run TRANSPOSED (round 5): the
+    # slice-last 1024-class volume (1024, 1024, 64) pads every block's
+    # 64-wide lane dim to 128 and measures 6.28 ms/iter vs a ~1.5 HBM
+    # model; FGP is axis-permutation invariant (same zero-gradient BC
+    # on every axis), so the (nx, nz, ny) orientation restores full
+    # lanes — measured 3.68 ms/iter (1.7x) with pb=1 plane blocks and a
+    # 96 MB scoped cap (pb=2/48-64 MB crash the Mosaic backend at this
+    # shape; minimal configs recorded round 5). Gated to 3D planes
+    # >= _TRANSPOSE_PLANE_BYTES so the 256/512 classes (already at
+    # their rooflines) keep their measured-best configuration; the two
+    # volume transposes amortize over the whole n_iter prox.
+    if (
+        x.ndim == 3
+        and x.shape[2] < 128 <= x.shape[1]
+        and x.shape[0] * x.shape[1] * 4 >= _TRANSPOSE_PLANE_BYTES
+    ):
+        xt = jnp.transpose(x, (2, 0, 1))
+        if mom is not None:
+            mt = (jnp.transpose(mom[0], (2, 0, 1)), mom[1])
+            d, y, tv0 = tv_fgp_pallas_fused(
+                xt, n_iter, lam, interpret, dual_dtype, fuse_pairs, mt
+            )
+            return (jnp.transpose(d, (1, 2, 0)),
+                    jnp.transpose(y, (1, 2, 0)), tv0)
+        d, tv0 = tv_fgp_pallas_fused(
+            xt, n_iter, lam, interpret, dual_dtype, fuse_pairs
+        )
+        return jnp.transpose(d, (1, 2, 0)), tv0
     squeeze = x.ndim == 3
     x4 = x[None] if squeeze else x
     nel, nz, ny, nx = x4.shape
-    pb = _fused_plane_block(nz)
+    pb = _fused_plane_block(nz, ny * nx * 4)
     tv0 = tvmod.tv(x)
     lam = float(lam)
     multip = 1.0 / (26.0 * lam)
@@ -353,7 +398,7 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
                   plane_next, blk, plane_next],
         out_specs=(blk, blk, blk),
         out_shape=(dshape, dshape, dshape),
-        compiler_params=_tv_compiler_params(nx),
+        compiler_params=_tv_compiler_params(nx, ny * nx * 4),
         interpret=interpret,
     )
 
@@ -368,7 +413,7 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
             in_specs=[spec, spec, spec_prev, spec, spec],
             out_specs=spec,
             out_shape=shape,
-            compiler_params=_tv_compiler_params(nx),
+            compiler_params=_tv_compiler_params(nx, ny * nx * 4),
             interpret=interpret,
         )
     else:
@@ -382,7 +427,7 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
             in_specs=[spec, spec, spec_prev, spec, spec, spec, beta_spec],
             out_specs=(spec, spec),
             out_shape=(shape, shape),
-            compiler_params=_tv_compiler_params(nx),
+            compiler_params=_tv_compiler_params(nx, ny * nx * 4),
             interpret=interpret,
         )
 
@@ -425,7 +470,7 @@ def tv_fgp_pallas_fused(x, n_iter: int, lam, interpret: bool | None = None,
             ],
             out_specs=(blk, blk, blk),
             out_shape=(dshape, dshape, dshape),
-            compiler_params=_tv_compiler_params(nx),
+            compiler_params=_tv_compiler_params(nx, ny * nx * 4),
             interpret=interpret,
         )
 
